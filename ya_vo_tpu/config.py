@@ -1,0 +1,141 @@
+"""Single explicit configuration for the whole pipeline.
+
+Supersedes the reference's split config story: jsoncpp `{basePath, sequence,
+cameraType}` (reference: config/KITTI.json:1-6, src/LoopHandler.cc:7-33) plus
+a long tail of hardcoded constants (FAST threshold/N at
+include/FastDetector.hpp:32-38, BRIEF params src/BriefDescriptor.cc:4-20,:90,
+RANSAC 400/0.1 src/LoopHandler.cc:567, LK window src/LoopHandler.cc:372-375,
+chi2/round counts src/LoopHandler.cc:811-838, inlier gates :144,:151).
+Every one of those knobs is an explicit field here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    # FAST-12 on a Bresenham radius-3 circle (reference FastDetector.hpp:32-38;
+    # ctor args were ignored there — here they are real).
+    fast_threshold: int = 40
+    fast_arc_length: int = 12
+    max_keypoints: int = 2048          # reference keeps top 2000 (FastDetector.cc:353)
+    nms_radius: int = 3                # 0 disables; reference has no NMS
+    harris_k: float = 0.04             # FastDetector.cc:270
+    # BRIEF-256 (reference BriefDescriptor.cc:4-20): offsets uniform in
+    # [-patch_radius, patch_radius], fixed SEEDED table (fixes quirk §2.4.6).
+    brief_n_bits: int = 256
+    brief_patch_radius: int = 8
+    brief_seed: int = 42
+    blur_sigma: float = 2.5            # 9x9 sigma 2.5 pre-blur (BriefDescriptor.cc:90)
+    blur_ksize: int = 9
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    # keep if hamming < max(2*min_dist, abs_threshold)
+    # (reference BriefDescriptor.cc:225, called with 20 at LoopHandler.cc:537)
+    abs_threshold: int = 20
+    max_matches: int = 1024
+    cross_check: bool = True           # mutual-best filter (reference is one-way)
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    # reference: 400 iters, algebraic threshold 0.1 (LoopHandler.cc:567) for F;
+    # OpenCV E-RANSAC conf .999 / 1.0 px (LoopHandler.cc:581). We score with
+    # Sampson error in pixels.
+    n_hypotheses: int = 512
+    sample_size: int = 8
+    inlier_threshold_px: float = 1.0
+    seed: int = 7
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    # pyramidal LK (reference: 11x11, 3 levels, 30 iters, eps .01,
+    # LoopHandler.cc:372-375)
+    lk_window: int = 11
+    lk_levels: int = 3
+    lk_iters: int = 30
+    lk_eps: float = 0.01
+    lk_max_residual: float = 12.0      # mean abs photometric residual gate
+    # pose-only GN/LM (reference: chi2 5.991, 4 rounds x 10 iters, Huber,
+    # LoopHandler.cc:811-838)
+    gn_rounds: int = 4
+    gn_iters_per_round: int = 10
+    chi2_threshold: float = 5.991
+    huber_delta: float = 2.4477        # sqrt(5.991), matches g2o default usage
+    # state-machine gates (reference LoopHandler.cc:144, :151)
+    min_flow_inliers: int = 2
+    min_ba_inliers: int = 100
+    keyframe_min_inlier_ratio: float = 0.5
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    max_landmarks: int = 16384
+    max_keyframes: int = 512
+    window_size: int = 8               # sliding-window BA keyframes
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    iters: int = 8
+    huber_delta: float = 2.4477
+    damping: float = 1e-4
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    # dataset (reference config/KITTI.json:1-6)
+    base_path: str = ""
+    sequence: str = "00"
+    camera_type: str = "mono"
+    image_height: int = 376            # KITTI gray (LoopHandlerTest.cc:29-30)
+    image_width: int = 1241
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    matching: MatchConfig = field(default_factory=MatchConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    tracking: TrackConfig = field(default_factory=TrackConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+
+    @staticmethod
+    def from_json(path: str) -> "VOConfig":
+        """Load a config JSON. Accepts both this framework's full schema and
+        the reference's 3-key schema (basePath/sequence/cameraType)."""
+        with open(path) as f:
+            raw = json.load(f)
+        return VOConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "VOConfig":
+        # reference-schema compatibility
+        alias = {"basePath": "base_path", "cameraType": "camera_type"}
+        top = {alias.get(k, k): v for k, v in raw.items()}
+        kwargs = {}
+        for f_ in dataclasses.fields(VOConfig):
+            if f_.name not in top:
+                continue
+            v = top[f_.name]
+            if dataclasses.is_dataclass(f_.type) or f_.name in (
+                "features", "matching", "ransac", "tracking", "map", "ba"
+            ):
+                sub_cls = {
+                    "features": FeatureConfig, "matching": MatchConfig,
+                    "ransac": RansacConfig, "tracking": TrackConfig,
+                    "map": MapConfig, "ba": BAConfig,
+                }[f_.name]
+                kwargs[f_.name] = sub_cls(**v)
+            else:
+                kwargs[f_.name] = v
+        return VOConfig(**kwargs)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
