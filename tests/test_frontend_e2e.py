@@ -1,0 +1,86 @@
+"""End-to-end pipeline test: synthetic rendered sequence through the full
+INIT -> TRACKING state machine, ATE checked against ground truth. This is
+the minimum end-to-end slice of SURVEY.md §7.3 (the reference's
+buildInitMap + track loop) with real accuracy asserts."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
+from ya_vo_tpu.tracking.frontend import Frontend, VOStatus
+from ya_vo_tpu.utils import synthetic
+from ya_vo_tpu.viz import evaluation
+
+
+def make_config():
+    return VOConfig(
+        image_height=256, image_width=768,
+        features=FeatureConfig(max_keypoints=1024),
+        tracking=TrackConfig(min_ba_inliers=15, min_flow_inliers=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    imgs, poses, lms, cam = synthetic.render_sequence(
+        n_frames=10, n_landmarks=500, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7,
+    )
+    return imgs, poses, lms, cam
+
+
+def poses_cam_to_world(poses_wc):
+    return np.linalg.inv(poses_wc)
+
+
+def test_full_pipeline_tracks_sequence(sequence):
+    imgs, poses_wc_gt, lms, cam = sequence
+    fe = Frontend(make_config(), cam)
+    traj = fe.run(imgs)
+
+    assert fe.status == VOStatus.TRACKING
+    assert fe.n_resets == 0, [r.status for r in fe.results]
+    assert traj.shape == (10, 4, 4)
+
+    # monocular scale is free: evaluate ATE after Sim(3) alignment
+    gt_cw = poses_cam_to_world(poses_wc_gt)
+    ate = evaluation.ate_rmse(traj, gt_cw, with_scale=True)
+    # 10 frames, ~3.6 m travelled; demand cm-level agreement
+    assert ate < 0.05, (ate, [r.n_ba_inliers for r in fe.results])
+
+    # rotation accuracy via RPE
+    rpe_t, rpe_r = evaluation.rpe(traj, gt_cw)
+    assert rpe_r < 0.3, rpe_r
+
+
+def test_pipeline_metrics_populated(sequence):
+    imgs, *_ , cam = sequence
+    fe = Frontend(make_config(), cam)
+    fe.run(imgs[:4])
+    r = fe.results
+    assert r[0].status == "INIT"
+    assert all(x.status == "TRACKING" for x in r[1:])
+    assert all(x.n_keypoints > 50 for x in r)
+    assert r[1].n_matches > 20            # init matches
+    assert all(x.n_ba_inliers > 10 for x in r[2:])
+    assert "extract" in r[1].timings_ms
+
+
+def test_map_populated(sequence):
+    imgs, _, lms, cam = sequence
+    fe = Frontend(make_config(), cam)
+    fe.run(imgs[:6])
+    st = fe.map.stats()
+    assert st["n_keyframes"] >= 2
+    assert st["n_alive"] > 50
+    # triangulated landmark positions should be near TRUE landmarks up to
+    # the global monocular scale: compare depth-normalized directions
+    pos, idx = fe.map.alive_landmarks()
+    dirs = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    true_dirs = lms / np.linalg.norm(lms, axis=-1, keepdims=True)
+    # each estimated direction should be close to SOME true landmark dir
+    dots = dirs @ true_dirs.T
+    best = dots.max(axis=1)
+    assert np.median(best) > 0.9999, np.median(best)

@@ -1,0 +1,427 @@
+"""Pipeline runtime: the INIT / TRACKING / RESET state machine.
+
+This is the TPU-native `LoopHandler` (reference: include/LoopHandler.hpp:27-89,
+src/LoopHandler.cc). The control flow stays host-side Python over a handful
+of device scalars (SURVEY.md §7.1 "host FSM, device math"); every heavy
+arrow of the reference call stacks (SURVEY.md §3.2-3.4) is one jitted stage:
+
+  reference                               here
+  ------------------------------------   -----------------------------------
+  insertFrameFeatures (FAST+BRIEF,        extract(): one jit fusing detect +
+    LoopHandler.cc:468-485)                 blur + describe
+  buildInitMap (match,F-RANSAC,E,         initialize(): matching.match +
+    recoverPose, triangulate2View,          ransac.estimate_two_view (incl.
+    LoopHandler.cc:532-652)                 cheirality triangulation)
+  track/trackLastFrame (projection-       track_step(): project seeds ->
+    seeded PyrLK, LoopHandler.cc:306-449)   lk.track -> pose_solver.solve_pose
+  optimizePoseOnly (g2o LM,
+    LoopHandler.cc:730-861)
+  reinitialize (LoopHandler.cc:168-296)   reinitialize(): same recipe as
+                                            initialize, chained on last pose
+  Map/MapPoint bookkeeping                MapStore masked arrays
+
+Gates match the reference: >= min_flow_inliers tracked features
+(LoopHandler.cc:144), >= min_ba_inliers pose-BA inliers (LoopHandler.cc:151),
+else RESET -> reinitialize.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ya_vo_tpu.config import VOConfig
+from ya_vo_tpu.core import lie
+from ya_vo_tpu.core.camera import Camera
+from ya_vo_tpu.features import brief, fast, matching
+from ya_vo_tpu.geometry import ransac
+from ya_vo_tpu.tracking import lk, pose_solver
+from ya_vo_tpu.worldmap.mapstore import MapStore
+
+
+class VOStatus(enum.Enum):
+    """reference: enum voStatus {INIT, TRACKING, ERROR, RESET}
+    (include/LoopHandler.hpp:25)."""
+
+    INIT = 0
+    TRACKING = 1
+    RESET = 2
+
+
+@dataclass
+class FrameResult:
+    frame_id: int
+    status: str
+    pose_wc: np.ndarray
+    n_keypoints: int = 0
+    n_matches: int = 0
+    n_flow_inliers: int = 0
+    n_ba_inliers: int = 0
+    n_new_landmarks: int = 0
+    is_keyframe: bool = False
+    reset: bool = False
+    timings_ms: dict = field(default_factory=dict)
+
+
+class Frontend:
+    def __init__(self, config: VOConfig, cam: Camera):
+        self.cfg = config
+        self.cam = cam
+        self.K = jnp.asarray(np.asarray(cam.K), jnp.float32)
+        self.map = MapStore(
+            max_landmarks=config.map.max_landmarks,
+            max_keyframes=config.map.max_keyframes,
+            max_obs_per_kf=config.features.max_keypoints,
+        )
+        self.status = VOStatus.INIT
+        self.frame_id = -1
+        self._rng = jax.random.PRNGKey(config.ransac.seed)
+
+        fc = config.features
+        self._offsets = brief.make_offsets(
+            fc.brief_n_bits, fc.brief_patch_radius, fc.brief_seed)
+
+        # per-frame state (previous frame)
+        self.last_img: Optional[jnp.ndarray] = None
+        self.last_kp = None          # Keypoints
+        self.last_desc = None        # [K, 8] uint32
+        self.last_pose = np.eye(4, dtype=np.float32)   # world->camera
+        self.rel_motion = np.eye(4, dtype=np.float32)  # T_curr = rel @ T_last
+        # track table: tracked pixels in LAST frame linked to landmarks
+        K_cap = fc.max_keypoints
+        self.track_uv = np.zeros((K_cap, 2), np.float32)
+        self.track_lm = np.full(K_cap, -1, np.int32)
+        self.track_valid = np.zeros(K_cap, bool)
+
+        self.trajectory: List[np.ndarray] = []
+        self.results: List[FrameResult] = []
+        self.n_resets = 0
+
+        self._extract = self._build_extract()
+
+    # ------------------------------------------------------------------ #
+    def _build_extract(self):
+        fc = self.cfg.features
+        offsets = self._offsets
+
+        @jax.jit
+        def extract(img):
+            kp = fast.detect(
+                img,
+                max_keypoints=fc.max_keypoints,
+                threshold=fc.fast_threshold,
+                arc_length=fc.fast_arc_length,
+                nms_radius=fc.nms_radius,
+                border=fc.brief_patch_radius + fc.blur_ksize // 2 + 4,
+                harris_k=fc.harris_k,
+            )
+            blurred = brief.gaussian_blur(
+                img.astype(jnp.float32), fc.blur_ksize, fc.blur_sigma)
+            desc, _ = brief.describe(blurred, kp.uv, kp.mask, offsets)
+            return kp, desc
+
+        return extract
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # ------------------------------------------------------------------ #
+    def process(self, img: np.ndarray) -> FrameResult:
+        """Feed one grayscale frame (reference addFrame,
+        src/LoopHandler.cc:80-122)."""
+        self.frame_id += 1
+        t0 = time.perf_counter()
+        img_dev = jnp.asarray(img)
+        kp, desc = self._extract(img_dev)
+        t_extract = (time.perf_counter() - t0) * 1e3
+
+        if self.status == VOStatus.INIT:
+            res = self._handle_init(img_dev, kp, desc)
+        else:
+            res = self._handle_tracking(img_dev, kp, desc)
+        res.timings_ms["extract"] = t_extract
+        res.n_keypoints = int(kp.count())
+
+        self.last_img = img_dev
+        self.last_kp = kp
+        self.last_desc = desc
+        self.trajectory.append(self.last_pose.copy())
+        self.results.append(res)
+        return res
+
+    # ------------------------------------------------------------------ #
+    def _handle_init(self, img, kp, desc) -> FrameResult:
+        if self.last_img is None:
+            # first frame: identity pose, wait for a second view
+            self.last_pose = np.eye(4, dtype=np.float32)
+            return FrameResult(self.frame_id, "INIT", self.last_pose.copy())
+
+        ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=False)
+        if ok:
+            self.status = VOStatus.TRACKING
+        return FrameResult(
+            self.frame_id, "INIT" if not ok else "TRACKING",
+            self.last_pose.copy(), **info,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _two_view_bootstrap(self, kp, desc, chain_on_last: bool):
+        """Match last<->current descriptors, robust E, triangulate, populate
+        map. Covers reference buildInitMap (LoopHandler.cc:532-652) and
+        reinitialize (:168-296) — `chain_on_last` selects the latter
+        (new motion chained onto the last pose; landmarks re-created)."""
+        mc = self.cfg.matching
+        m = matching.match(
+            self.last_desc, desc, self.last_kp.mask, kp.mask,
+            abs_threshold=mc.abs_threshold, cross_check=mc.cross_check,
+        )
+        n_matches = int(m.count())
+        info = dict(n_matches=n_matches)
+        if n_matches < 8:
+            return False, info
+
+        uv1 = self.last_kp.uv
+        uv2 = kp.uv[m.idx2]
+        rc = self.cfg.ransac
+        tv = ransac.estimate_two_view(
+            uv1, uv2, m.mask, self.K, self._next_key(),
+            n_hypotheses=rc.n_hypotheses,
+            inlier_threshold_px=rc.inlier_threshold_px,
+        )
+        n_inl = int(tv.n_inliers)
+        info["n_ba_inliers"] = n_inl
+        if n_inl < max(8, self.cfg.tracking.min_flow_inliers):
+            return False, info
+
+        # camera1 = last frame; x2 = R x1 + t (unit baseline). World pose of
+        # current frame: T2_wc = [R|t] @ T1_wc (reference sets the inverse
+        # composition at LoopHandler.cc:619-620 / 277-279).
+        T_rel = np.asarray(lie.rt_to_mat(tv.R, tv.t))
+        T1 = self.last_pose
+        T2 = (T_rel @ T1).astype(np.float32)
+
+        # triangulated points are in CAMERA-1 coords; lift to world
+        pts_c1 = np.asarray(tv.points)
+        valid = np.asarray(tv.points_valid)
+        T1_inv = np.asarray(lie.se3_inverse(jnp.asarray(T1)))
+        pts_w = pts_c1 @ T1_inv[:3, :3].T + T1_inv[:3, 3]
+
+        lm_idx = self.map.add_landmarks(pts_w, valid)
+        n_new = int((lm_idx >= 0).sum())
+        info["n_new_landmarks"] = n_new
+        if n_new < self.cfg.tracking.min_flow_inliers:
+            return False, info
+
+        # keyframes: last + current, with current-frame observations
+        uv2_np = np.asarray(uv2)
+        self.map.insert_keyframe(
+            self.frame_id - 1, T1, np.asarray(uv1), lm_idx, lm_idx >= 0)
+        self.map.insert_keyframe(
+            self.frame_id, T2, uv2_np, lm_idx, lm_idx >= 0)
+
+        # track table for the CURRENT frame (becomes "last" after process())
+        self.track_uv.fill(0)
+        self.track_lm.fill(-1)
+        self.track_valid.fill(False)
+        n = min(len(uv2_np), len(self.track_uv))
+        self.track_uv[:n] = uv2_np[:n]
+        self.track_lm[:n] = lm_idx[:n]
+        self.track_valid[:n] = lm_idx[:n] >= 0
+
+        self.rel_motion = (T2 @ np.linalg.inv(T1)).astype(np.float32)
+        self.last_pose = T2
+        info["is_keyframe"] = True
+        return True, info
+
+    # ------------------------------------------------------------------ #
+    def _handle_tracking(self, img, kp, desc) -> FrameResult:
+        tc = self.cfg.tracking
+        t0 = time.perf_counter()
+
+        # constant-velocity prior (reference LoopHandler.cc:138-140)
+        T_prior = (self.rel_motion @ self.last_pose).astype(np.float32)
+
+        # project tracked landmarks into the predicted frame as LK seeds
+        # (reference trackLastFrame, LoopHandler.cc:327-352)
+        lm_pos = self.map.landmark_pos[np.maximum(self.track_lm, 0)]
+        alive = self.track_valid & (self.track_lm >= 0) & \
+            self.map.landmark_alive[np.maximum(self.track_lm, 0)]
+
+        pc = lm_pos @ T_prior[:3, :3].T + T_prior[:3, 3]
+        z = pc[:, 2]
+        in_front = z > 0.25
+        zs = np.where(in_front, z, 1.0)
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        seed_uv = np.stack(
+            [fx * pc[:, 0] / zs + cx, fy * pc[:, 1] / zs + cy], axis=-1
+        ).astype(np.float32)
+        use = alive & in_front
+        seed_uv = np.where(use[:, None], seed_uv, self.track_uv)
+
+        flow = lk.track(
+            self.last_img, img,
+            jnp.asarray(self.track_uv), jnp.asarray(seed_uv),
+            jnp.asarray(use),
+            levels=tc.lk_levels, half=tc.lk_window // 2,
+            iters=tc.lk_iters, eps=tc.lk_eps,
+            max_residual=tc.lk_max_residual,
+        )
+        flow_uv = np.asarray(flow.uv)
+        flow_ok = np.asarray(flow.status)
+        n_flow = int(flow_ok.sum())
+        t_flow = (time.perf_counter() - t0) * 1e3
+
+        if n_flow < tc.min_flow_inliers:
+            return self._reset(kp, desc, n_matches=0, n_flow=n_flow)
+
+        # pose-only GN (reference optimizePoseOnly, LoopHandler.cc:730-861)
+        t0 = time.perf_counter()
+        solve = pose_solver.solve_pose(
+            jnp.asarray(T_prior),
+            jnp.asarray(lm_pos),
+            jnp.asarray(flow_uv),
+            jnp.asarray(flow_ok),
+            self.cam,
+            iters=tc.gn_rounds * tc.gn_iters_per_round,
+            huber_delta=tc.huber_delta,
+            chi2_threshold=tc.chi2_threshold,
+        )
+        n_ba = int(solve.n_inliers)
+        t_solve = (time.perf_counter() - t0) * 1e3
+
+        if n_ba < tc.min_ba_inliers:
+            return self._reset(kp, desc, n_matches=0, n_flow=n_flow,
+                               n_ba=n_ba)
+
+        T_new = np.asarray(solve.pose)
+        inl = np.asarray(solve.inlier_mask)
+
+        # demote landmarks that were confidently tracked but rejected by the
+        # pose solve (reference clears outlier features' map points,
+        # LoopHandler.cc:850-855)
+        outlier_lms = self.track_lm[flow_ok & ~inl]
+        self.map.kill_landmarks(outlier_lms)
+
+        # update track table to the current frame
+        keep = flow_ok & inl
+        self.track_uv = np.where(keep[:, None], flow_uv, self.track_uv)
+        self.track_valid = keep
+        # (track_lm unchanged: same landmark follows its feature)
+
+        self.rel_motion = (T_new @ np.linalg.inv(self.last_pose)).astype(
+            np.float32)
+        self.last_pose = T_new.astype(np.float32)
+
+        # keyframe / landmark replenishment
+        n_new, is_kf = 0, False
+        if n_ba < tc.min_ba_inliers * 2 or \
+                n_ba < self.cfg.matching.max_matches * tc.keyframe_min_inlier_ratio:
+            n_new = self._replenish(img, kp, desc)
+            is_kf = n_new > 0
+
+        return FrameResult(
+            self.frame_id, "TRACKING", self.last_pose.copy(),
+            n_flow_inliers=n_flow, n_ba_inliers=n_ba,
+            n_new_landmarks=n_new, is_keyframe=is_kf,
+            timings_ms={"flow": t_flow, "solve": t_solve},
+        )
+
+    # ------------------------------------------------------------------ #
+    def _replenish(self, img, kp, desc) -> int:
+        """Create new landmarks by descriptor-matching the previous frame to
+        the current one and triangulating with the SOLVED poses (the
+        correctly-scaled analog of reference triangulate2View(first=false),
+        LoopHandler.cc:658-726)."""
+        mc = self.cfg.matching
+        m = matching.match(
+            self.last_desc, desc, self.last_kp.mask, kp.mask,
+            abs_threshold=mc.abs_threshold, cross_check=mc.cross_check,
+        )
+        mask = np.asarray(m.mask)
+        if mask.sum() < 8:
+            return 0
+        uv1 = np.asarray(self.last_kp.uv)
+        uv2 = np.asarray(kp.uv)[np.asarray(m.idx2)]
+
+        # suppress matches that land near existing tracked features
+        tracked = self.track_uv[self.track_valid]
+        if len(tracked):
+            d = np.linalg.norm(
+                uv2[:, None, :] - tracked[None, :, :], axis=-1)
+            near = (d < 12.0).any(axis=1)
+            mask = mask & ~near
+        if mask.sum() < 4:
+            return 0
+
+        from ya_vo_tpu.geometry.triangulation import triangulate
+        K = np.asarray(self.cam.K)
+        T1 = self.trajectory[-1] if self.trajectory else np.eye(4)
+        # NOTE: self.last_pose was already updated to the CURRENT frame;
+        # the previous frame's pose is the last trajectory entry.
+        T_prev = T1
+        P1 = (K @ T_prev[:3, :4]).astype(np.float32)
+        P2 = (K @ self.last_pose[:3, :4]).astype(np.float32)
+        pts_w, valid = triangulate(
+            jnp.asarray(P1), jnp.asarray(P2),
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask),
+        )
+        pts_w = np.asarray(pts_w)
+        valid = np.asarray(valid)
+
+        lm_idx = self.map.add_landmarks(pts_w, valid)
+        created = lm_idx >= 0
+        n_new = int(created.sum())
+        if n_new == 0:
+            return 0
+
+        # extend the track table with the new features in free slots
+        free = np.nonzero(~self.track_valid)[0]
+        src = np.nonzero(created)[0]
+        n_add = min(len(free), len(src))
+        if n_add:
+            f = free[:n_add]
+            s = src[:n_add]
+            self.track_uv[f] = uv2[s]
+            self.track_lm[f] = lm_idx[s]
+            self.track_valid[f] = True
+
+        self.map.insert_keyframe(
+            self.frame_id, self.last_pose,
+            self.track_uv, self.track_lm, self.track_valid)
+        return n_new
+
+    # ------------------------------------------------------------------ #
+    def _reset(self, kp, desc, n_matches=0, n_flow=0, n_ba=0) -> FrameResult:
+        """Tracking failed: re-bootstrap from descriptors, chaining the new
+        (unit-scale) motion onto the last good pose (reference reinitialize,
+        src/LoopHandler.cc:168-296 — same scale caveat)."""
+        self.n_resets += 1
+        ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=True)
+        if not ok:
+            self.status = VOStatus.INIT
+            # hold pose (constant position) until re-init succeeds
+        else:
+            self.status = VOStatus.TRACKING
+        return FrameResult(
+            self.frame_id, "RESET", self.last_pose.copy(),
+            n_flow_inliers=n_flow, n_ba_inliers=n_ba, reset=True,
+            **{k: v for k, v in info.items()
+               if k in ("n_matches", "n_new_landmarks", "is_keyframe")},
+        )
+
+    # ------------------------------------------------------------------ #
+    def run(self, frames) -> np.ndarray:
+        """Drive a whole sequence; returns [F, 4, 4] world->camera poses
+        (reference runVO, src/LoopHandler.cc:517-530)."""
+        for img in frames:
+            self.process(img)
+        return np.stack(self.trajectory)
