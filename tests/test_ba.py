@@ -1,0 +1,110 @@
+"""Sliding-window BA tests: convergence from perturbed poses/landmarks on
+exact synthetic observations, robustness to observation noise, gauge
+stability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ya_vo_tpu.ba import window
+from ya_vo_tpu.core import lie
+from ya_vo_tpu.utils import synthetic
+
+
+def make_problem(seed=0, W=5, L=200, noise=0.0, pose_pert=0.02,
+                 lm_pert=0.10, O=256):
+    rng = np.random.default_rng(seed)
+    cam = synthetic.kitti_camera()
+    lms = synthetic.random_landmarks(L, seed=seed)
+    poses = synthetic.forward_trajectory(W, step=0.5)
+    uv, vis = synthetic.project_tracks(lms, poses, cam, 376, 1241, margin=5)
+    if noise > 0:
+        uv = uv + rng.normal(0, noise, uv.shape).astype(np.float32)
+
+    obs_uv = np.zeros((W, O, 2), np.float32)
+    obs_lm = np.full((W, O), -1, np.int32)
+    obs_valid = np.zeros((W, O), bool)
+    for w in range(W):
+        ids = np.nonzero(vis[w])[0][:O]
+        obs_uv[w, : len(ids)] = uv[w, ids]
+        obs_lm[w, : len(ids)] = ids
+        obs_valid[w, : len(ids)] = True
+
+    # perturb everything except the (gauge-fixed) first pose
+    poses_pert = poses.copy()
+    for w in range(1, W):
+        xi = rng.normal(0, pose_pert, 6).astype(np.float32)
+        poses_pert[w] = np.asarray(
+            lie.se3_exp(jnp.asarray(xi))) @ poses_pert[w]
+    lms_pert = lms + rng.normal(0, lm_pert, lms.shape).astype(np.float32)
+
+    prob = window.BAProblem(
+        poses=jnp.asarray(poses_pert),
+        pose_valid=jnp.ones(W, bool),
+        landmarks=jnp.asarray(lms_pert),
+        lm_valid=jnp.ones(L, bool),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(obs_valid),
+    )
+    return prob, cam, poses, lms
+
+
+def test_converges_to_ground_truth():
+    prob, cam, poses_gt, lms_gt = make_problem()
+    res = window.solve_window(prob, cam, iters=10)
+    assert float(res.cost_final) < 1e-2 * float(res.cost_initial)
+    # poses recovered
+    for w in range(poses_gt.shape[0]):
+        dT = np.asarray(res.poses)[w] @ np.linalg.inv(poses_gt[w])
+        dt = np.linalg.norm(dT[:3, 3])
+        ang = np.degrees(np.arccos(
+            np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)))
+        assert dt < 5e-3, (w, dt)
+        assert ang < 0.05, (w, ang)
+    # landmarks recovered (only those actually observed)
+    obs_ids = np.unique(np.asarray(prob.obs_lm)[np.asarray(prob.obs_valid)])
+    err = np.linalg.norm(
+        np.asarray(res.landmarks)[obs_ids] - lms_gt[obs_ids], axis=-1)
+    assert np.median(err) < 2e-2, np.median(err)
+
+
+def test_first_pose_fixed():
+    prob, cam, poses_gt, _ = make_problem()
+    res = window.solve_window(prob, cam, iters=6)
+    np.testing.assert_allclose(
+        np.asarray(res.poses)[0], np.asarray(prob.poses)[0], atol=1e-6)
+
+
+def test_noise_robustness():
+    prob, cam, poses_gt, lms_gt = make_problem(noise=0.5, seed=1)
+    res = window.solve_window(prob, cam, iters=10)
+    assert float(res.cost_final) < float(res.cost_initial)
+    # monocular scale is gauge-free under noise: compare after Sim(3)
+    from ya_vo_tpu.viz import evaluation
+
+    gt_cw = np.linalg.inv(poses_gt)
+    ate = evaluation.ate_rmse(np.asarray(res.poses), gt_cw, with_scale=True)
+    assert ate < 0.02, ate
+
+
+def test_cost_monotone_guard():
+    """With zero perturbation the solver must not walk away from the
+    optimum (accept-if-better guard)."""
+    prob, cam, poses_gt, lms_gt = make_problem(pose_pert=0.0, lm_pert=0.0)
+    res = window.solve_window(prob, cam, iters=5)
+    assert float(res.cost_final) <= float(res.cost_initial) + 1e-3
+    for w in range(poses_gt.shape[0]):
+        dT = np.asarray(res.poses)[w] @ np.linalg.inv(poses_gt[w])
+        assert np.linalg.norm(dT[:3, 3]) < 1e-4
+
+
+def test_masked_everything_safe():
+    prob, cam, *_ = make_problem(W=3, L=50, O=64)
+    prob = prob._replace(
+        obs_valid=jnp.zeros_like(prob.obs_valid),
+    )
+    res = window.solve_window(prob, cam, iters=3)
+    assert np.all(np.isfinite(np.asarray(res.poses)))
+    assert np.all(np.isfinite(np.asarray(res.landmarks)))
+    assert int(res.n_obs) == 0
