@@ -72,6 +72,14 @@ def _obs_terms(poses, landmarks, prob: BAProblem, cam: Camera,
         & prob.pose_valid[:, None]
         & prob.lm_valid[lm_idx] & (z > 1e-2)
     )
+    # exclude landmarks with < 2 usable observations (position unconstrained
+    # along its single ray; damped-singular Hll^-1 corrupts the Schur system)
+    L = prob.landmarks.shape[0]
+    seg = jnp.where(prob.obs_lm.reshape(-1) >= 0,
+                    prob.obs_lm.reshape(-1), L)
+    n_obs_per_lm = jax.ops.segment_sum(
+        valid.reshape(-1).astype(jnp.int32), seg, num_segments=L + 1)[:L]
+    valid = valid & (n_obs_per_lm[lm_idx] >= 2)
     z_safe = jnp.where(z < 1e-2, 1e-2, z)
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -218,9 +226,29 @@ def solve_window(
         dxl = jnp.clip(dxl, -5.0, 5.0)
 
         new_poses = lie.se3_exp(dxp) @ poses
-        new_landmarks = landmarks + dxl
+        cand_landmarks = landmarks + dxl
 
-        # accept only if cost decreases (cheap trust region)
+        # per-landmark acceptance: a weakly-observed landmark (e.g. one
+        # observation -> rank-deficient Hll) must not poison the whole step.
+        # Evaluate each landmark's own robust cost under the new poses and
+        # keep whichever position is better.
+        def lm_costs(lms_q):
+            r_q, _, _, _, _, valid_q = _obs_terms(
+                new_poses, lms_q, prob, cam, huber_delta)
+            chi2q = jnp.sum(r_q * r_q, axis=-1)
+            nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
+            hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
+                           huber_delta * (nq - 0.5 * huber_delta))
+            hc = jnp.where(valid_q, hc, 0.0)
+            seg = jnp.where(prob.obs_lm.reshape(-1) >= 0,
+                            prob.obs_lm.reshape(-1), L)
+            return jax.ops.segment_sum(hc.reshape(-1), seg,
+                                       num_segments=L + 1)[:L]
+
+        better = lm_costs(cand_landmarks) <= lm_costs(landmarks)
+        new_landmarks = jnp.where(better[:, None], cand_landmarks, landmarks)
+
+        # global acceptance for the pose step
         new_cost, _ = cost_of(new_poses, new_landmarks)
         old_cost, _ = cost_of(poses, landmarks)
         accept = new_cost < old_cost

@@ -81,6 +81,10 @@ def _shard_terms(poses, landmarks, lm_valid, obs_uv, obs_valid, cam: Camera,
                     jnp.broadcast_to(X, (X.shape[0], R.shape[1], 3))) + t
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     valid = obs_valid & lm_valid[:, None] & (z > 1e-2)
+    # a landmark needs >= 2 usable observations to be part of the problem:
+    # with one, its position is unconstrained along the ray and its
+    # (damped-singular) Hll^-1 corrupts the reduced camera system
+    valid = valid & (jnp.sum(valid, axis=1, keepdims=True) >= 2)
     z_safe = jnp.where(z < 1e-2, 1e-2, z)
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -192,9 +196,25 @@ def make_dist_solver(
             dxl = jnp.clip(dxl, -5.0, 5.0)
 
             new_poses = lie.se3_exp(dxp) @ poses_i
-            new_lms = lms_i + dxl
+            cand_lms = lms_i + dxl
 
-            # accept-if-better on the GLOBAL cost
+            # per-landmark acceptance (local; landmark-major layout makes
+            # the per-landmark cost a plain sum over the W axis): weakly-
+            # observed landmarks must not poison the whole step
+            def lm_cost(lms_q):
+                r_q, _, _, w_q, _ = _shard_terms(
+                    new_poses, lms_q, lm_valid, obs_uv, obs_valid,
+                    cam, huber_delta)
+                chi2q = jnp.sum(r_q * r_q, axis=-1)
+                nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
+                hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
+                               huber_delta * (nq - 0.5 * huber_delta))
+                return jnp.sum(jnp.where(w_q > 0, hc, 0.0), axis=1)  # [Ls]
+
+            better = lm_cost(cand_lms) <= lm_cost(lms_i)
+            new_lms = jnp.where(better[:, None], cand_lms, lms_i)
+
+            # accept-if-better on the GLOBAL cost for the pose step
             def global_cost(p, l):
                 *_, c = _shard_terms(p, l, lm_valid, obs_uv, obs_valid,
                                      cam, huber_delta)
