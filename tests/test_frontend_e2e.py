@@ -84,3 +84,25 @@ def test_map_populated(sequence):
     dots = dirs @ true_dirs.T
     best = dots.max(axis=1)
     assert np.median(best) > 0.9999, np.median(best)
+
+
+def test_window_ba_runs_and_preserves_accuracy(sequence):
+    imgs, poses_wc_gt, lms, cam = sequence
+    cfg = make_config()
+    fe = Frontend(cfg, cam)
+    traj = fe.run(imgs)
+    gt_cw = poses_cam_to_world(poses_wc_gt)
+    ate = evaluation.ate_rmse(traj, gt_cw, with_scale=True)
+    assert fe.n_ba_runs >= 1
+    assert ate < 0.05, ate
+
+
+def test_ba_disabled_still_works(sequence):
+    imgs, poses_wc_gt, lms, cam = sequence
+    cfg = make_config()
+    cfg = dataclasses.replace(cfg, ba=dataclasses.replace(cfg.ba, enabled=False))
+    fe = Frontend(cfg, cam)
+    traj = fe.run(imgs)
+    assert fe.n_ba_runs == 0
+    ate = evaluation.ate_rmse(traj, poses_cam_to_world(poses_wc_gt))
+    assert ate < 0.08, ate

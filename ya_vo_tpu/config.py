@@ -85,9 +85,11 @@ class MapConfig:
 
 @dataclass(frozen=True)
 class BAConfig:
+    enabled: bool = True
     iters: int = 8
     huber_delta: float = 2.4477
     damping: float = 1e-4
+    min_keyframes: int = 3             # don't run BA below this window fill
 
 
 @dataclass(frozen=True)

@@ -103,6 +103,8 @@ class Frontend:
         self.trajectory: List[np.ndarray] = []
         self.results: List[FrameResult] = []
         self.n_resets = 0
+        self._last_ba_ms = 0.0
+        self.n_ba_runs = 0
 
         self._extract = self._build_extract()
 
@@ -327,6 +329,8 @@ class Frontend:
                 n_ba < self.cfg.matching.max_matches * tc.keyframe_min_inlier_ratio:
             n_new = self._replenish(img, kp, desc)
             is_kf = n_new > 0
+            if is_kf:
+                self._run_window_ba()
 
         return FrameResult(
             self.frame_id, "TRACKING", self.last_pose.copy(),
@@ -398,6 +402,67 @@ class Frontend:
             self.frame_id, self.last_pose,
             self.track_uv, self.track_lm, self.track_valid)
         return n_new
+
+    # ------------------------------------------------------------------ #
+    def _run_window_ba(self) -> None:
+        """Sliding-window BA over the active keyframe window (the windowed
+        BA the reference scaffolds via Map's active sets but never built,
+        SURVEY.md §2.3); refined poses/landmarks are written back to the
+        map, and the live pose follows the newest keyframe's correction."""
+        bc = self.cfg.ba
+        if not bc.enabled or self.map.n_keyframes < bc.min_keyframes:
+            return
+        from ya_vo_tpu.ba import window as ba_window
+
+        W = self.cfg.map.window_size
+        slots, poses, obs_uv, obs_lm, obs_valid = self.map.active_window(W)
+        n_real = len(slots)
+        if n_real < bc.min_keyframes:
+            return
+        # pad the window to the static shape [W, O]
+        O = obs_uv.shape[1]
+        poses_p = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+        poses_p[:n_real] = poses
+        uv_p = np.zeros((W, O, 2), np.float32)
+        uv_p[:n_real] = obs_uv
+        lm_p = np.full((W, O), -1, np.int32)
+        lm_p[:n_real] = obs_lm
+        ok_p = np.zeros((W, O), bool)
+        ok_p[:n_real] = obs_valid
+        pv = np.zeros(W, bool)
+        pv[:n_real] = True
+
+        alive = self.map.landmark_alive.copy()
+        prob = ba_window.BAProblem(
+            poses=jnp.asarray(poses_p),
+            pose_valid=jnp.asarray(pv),
+            landmarks=jnp.asarray(self.map.landmark_pos),
+            lm_valid=jnp.asarray(alive),
+            obs_uv=jnp.asarray(uv_p),
+            obs_lm=jnp.asarray(lm_p),
+            obs_valid=jnp.asarray(ok_p),
+        )
+        t0 = time.perf_counter()
+        res = ba_window.solve_window(
+            prob, self.cam, iters=bc.iters,
+            huber_delta=bc.huber_delta, damping=bc.damping)
+        new_poses = np.asarray(res.poses)[:n_real]
+        new_lms = np.asarray(res.landmarks)
+        if not (np.all(np.isfinite(new_poses))
+                and np.all(np.isfinite(new_lms))):
+            return
+        self._last_ba_ms = (time.perf_counter() - t0) * 1e3
+        self.n_ba_runs += 1
+
+        # write back: keyframe poses, landmark positions, live pose.
+        # The newest keyframe IS the current frame (called right after
+        # insert_keyframe in _replenish).
+        self.map.update_keyframe_poses(slots, new_poses)
+        self.map.landmark_pos[:] = new_lms
+        prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
+        self.last_pose = new_poses[-1].astype(np.float32)
+        self.rel_motion = (
+            self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
 
     # ------------------------------------------------------------------ #
     def _reset(self, kp, desc, n_matches=0, n_flow=0, n_ba=0) -> FrameResult:
