@@ -1,0 +1,115 @@
+"""Auxiliary subsystems: checkpoint/resume continuity, KITTI trajectory
+export/load roundtrip, rendering smoke, prefetch iterator, CLI runner."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ya_vo_tpu.io import kitti
+from ya_vo_tpu.io.prefetch import PrefetchIterator
+from ya_vo_tpu.utils import checkpoint as ckpt
+from ya_vo_tpu.utils import synthetic
+from ya_vo_tpu.viz import evaluation, render
+from tests.test_frontend_e2e import make_config
+
+
+def test_checkpoint_resume_continues_tracking(tmp_path):
+    from ya_vo_tpu.tracking.frontend import Frontend
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=10, n_landmarks=500, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7)
+    cfg = make_config()
+
+    # run 6 frames, checkpoint, resume in a FRESH frontend, run the rest
+    fe1 = Frontend(cfg, cam)
+    for img in imgs[:6]:
+        fe1.process(img)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_frontend(fe1, path)
+
+    fe2 = Frontend(cfg, cam)
+    ckpt.load_frontend(fe2, path)
+    assert fe2.frame_id == fe1.frame_id
+    for img in imgs[6:]:
+        fe2.process(img)
+
+    # reference run without interruption
+    fe_ref = Frontend(cfg, cam)
+    fe_ref.run(imgs)
+
+    traj2 = np.stack(fe2.trajectory)
+    gt_cw = np.linalg.inv(poses_gt)
+    ate_resumed = evaluation.ate_rmse(traj2, gt_cw)
+    ate_ref = evaluation.ate_rmse(np.stack(fe_ref.trajectory), gt_cw)
+    assert fe2.n_resets == 0
+    assert ate_resumed < max(0.05, 2 * ate_ref), (ate_resumed, ate_ref)
+
+
+def test_trajectory_kitti_roundtrip(tmp_path):
+    poses_wc = synthetic.forward_trajectory(20, step=0.7, yaw_rate=0.01)
+    cam_to_world = np.linalg.inv(poses_wc)
+    path = str(tmp_path / "poses.txt")
+    kitti.save_trajectory_kitti(path, cam_to_world)
+    rows = np.loadtxt(path)
+    assert rows.shape == (20, 12)
+    back = rows.reshape(-1, 3, 4)
+    np.testing.assert_allclose(back, cam_to_world[:, :3, :4], atol=1e-6)
+
+
+def test_gt_pose_loader(tmp_path):
+    os.makedirs(tmp_path / "poses", exist_ok=True)
+    poses = np.linalg.inv(synthetic.forward_trajectory(5))
+    np.savetxt(tmp_path / "poses" / "07.txt",
+               poses[:, :3, :4].reshape(-1, 12))
+    out = kitti.load_gt_poses(str(tmp_path), "07")
+    assert out.shape == (5, 4, 4)
+    np.testing.assert_allclose(out[:, :3, :4], poses[:, :3, :4], atol=1e-8)
+    np.testing.assert_allclose(out[:, 3], np.tile([0, 0, 0, 1], (5, 1)))
+    assert kitti.load_gt_poses(str(tmp_path), "99") is None
+
+
+def test_render_outputs(tmp_path):
+    est = synthetic.forward_trajectory(15, step=0.5)
+    gt = np.linalg.inv(est)
+    lms = synthetic.random_landmarks(100)
+    p1 = render.plot_trajectory(est, gt, lms, str(tmp_path / "t.png"))
+    assert os.path.getsize(p1) > 1000
+    img = synthetic.render_scene(lms, est[0], synthetic.kitti_camera(),
+                                 256, 512)
+    p2 = render.draw_keypoints(img, np.array([[100.0, 100.0]]),
+                               str(tmp_path / "k.png"))
+    assert os.path.getsize(p2) > 1000
+
+
+def test_prefetch_iterator_order_and_errors():
+    items = list(range(20))
+    out = list(PrefetchIterator(items, lambda x: x * 2, depth=3))
+    assert out == [x * 2 for x in items]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("decode failed")
+        return x
+
+    it = PrefetchIterator(range(10), boom, depth=2)
+    got = []
+    with pytest.raises(RuntimeError):
+        for v in it:
+            got.append(v)
+    assert got == [0, 1, 2]
+
+
+def test_image_stream_npy(tmp_path):
+    seq = tmp_path / "sequences" / "00" / "image_0"
+    os.makedirs(seq)
+    for i in range(3):
+        np.save(seq / f"{i:06d}.npy",
+                np.full((40, 60), i, np.uint8))
+    stream = kitti.ImageStream(str(tmp_path), "00")
+    frames = list(stream)
+    assert len(frames) == 3
+    assert frames[1].mean() == 1

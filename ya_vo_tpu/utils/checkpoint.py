@@ -1,0 +1,95 @@
+"""Checkpoint / resume for the VO session.
+
+The reference has NO persistence: poses live only in memory and are lost at
+exit (SURVEY.md §5 "Checkpoint / resume: none"). Here the complete session
+state — trajectory, map arrays, track table, FSM status — serializes to a
+single compressed npz, and a Frontend can be restored mid-sequence and
+continue tracking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_frontend(fe, path: str) -> None:
+    m = fe.map
+    np.savez_compressed(
+        path,
+        status=np.int32(fe.status.value),
+        frame_id=np.int64(fe.frame_id),
+        last_pose=fe.last_pose,
+        rel_motion=fe.rel_motion,
+        trajectory=np.stack(fe.trajectory) if fe.trajectory else
+        np.zeros((0, 4, 4), np.float32),
+        track_uv=fe.track_uv,
+        track_lm=fe.track_lm,
+        track_valid=fe.track_valid,
+        n_resets=np.int32(fe.n_resets),
+        # map store
+        landmark_pos=m.landmark_pos[: m.n_landmarks],
+        landmark_alive=m.landmark_alive[: m.n_landmarks],
+        landmark_obs_count=m.landmark_obs_count[: m.n_landmarks],
+        kf_pose=m.kf_pose[: m.n_keyframes],
+        kf_frame_id=m.kf_frame_id[: m.n_keyframes],
+        kf_obs_uv=m.kf_obs_uv[: m.n_keyframes],
+        kf_obs_lm=m.kf_obs_lm[: m.n_keyframes],
+        kf_obs_valid=m.kf_obs_valid[: m.n_keyframes],
+        # last-frame context so LK/matching continue seamlessly on resume
+        last_img=np.asarray(fe.last_img) if fe.last_img is not None
+        else np.zeros((0, 0), np.uint8),
+        last_kp_uv=np.asarray(fe.last_kp.uv) if fe.last_kp is not None
+        else np.zeros((0, 2), np.float32),
+        last_kp_score=np.asarray(fe.last_kp.score) if fe.last_kp is not None
+        else np.zeros((0,), np.float32),
+        last_kp_mask=np.asarray(fe.last_kp.mask) if fe.last_kp is not None
+        else np.zeros((0,), bool),
+        last_desc=np.asarray(fe.last_desc) if fe.last_desc is not None
+        else np.zeros((0, 8), np.uint32),
+    )
+
+
+def load_frontend(fe, path: str) -> None:
+    """Restore state saved by `save_frontend` into a freshly-constructed
+    Frontend (same config)."""
+    from ya_vo_tpu.tracking.frontend import VOStatus
+
+    z = np.load(path)
+    fe.status = VOStatus(int(z["status"]))
+    fe.frame_id = int(z["frame_id"])
+    fe.last_pose = z["last_pose"].astype(np.float32)
+    fe.rel_motion = z["rel_motion"].astype(np.float32)
+    fe.trajectory = [p for p in z["trajectory"]]
+    fe.track_uv[:] = z["track_uv"]
+    fe.track_lm[:] = z["track_lm"]
+    fe.track_valid[:] = z["track_valid"]
+    fe.n_resets = int(z["n_resets"])
+
+    m = fe.map
+    nl = len(z["landmark_pos"])
+    nk = len(z["kf_pose"])
+    m.n_landmarks = nl
+    m.landmark_pos[:nl] = z["landmark_pos"]
+    m.landmark_alive[:] = False
+    m.landmark_alive[:nl] = z["landmark_alive"]
+    m.landmark_obs_count[:nl] = z["landmark_obs_count"]
+    m.n_keyframes = nk
+    m.kf_pose[:nk] = z["kf_pose"]
+    m.kf_frame_id[:nk] = z["kf_frame_id"]
+    m.kf_valid[:] = False
+    m.kf_valid[:nk] = True
+    m.kf_obs_uv[:nk] = z["kf_obs_uv"]
+    m.kf_obs_lm[:nk] = z["kf_obs_lm"]
+    m.kf_obs_valid[:nk] = z["kf_obs_valid"]
+
+    if z["last_img"].size:
+        import jax.numpy as jnp
+        from ya_vo_tpu.features.fast import Keypoints
+
+        fe.last_img = jnp.asarray(z["last_img"])
+        fe.last_kp = Keypoints(
+            uv=jnp.asarray(z["last_kp_uv"]),
+            score=jnp.asarray(z["last_kp_score"]),
+            mask=jnp.asarray(z["last_kp_mask"]),
+        )
+        fe.last_desc = jnp.asarray(z["last_desc"])
