@@ -65,7 +65,7 @@ def test_pipeline_metrics_populated(sequence):
     assert all(x.n_keypoints > 50 for x in r)
     assert r[1].n_matches > 20            # init matches
     assert all(x.n_ba_inliers > 10 for x in r[2:])
-    assert "extract" in r[1].timings_ms
+    assert "frame" in r[1].timings_ms
 
 
 def test_map_populated(sequence):

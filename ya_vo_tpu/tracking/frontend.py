@@ -107,6 +107,7 @@ class Frontend:
         self.n_ba_runs = 0
 
         self._extract = self._build_extract()
+        self._track_step = self._build_track_step()
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -131,6 +132,56 @@ class Frontend:
 
         return extract
 
+    def _build_track_step(self):
+        """One fused jit for the entire steady-state tracking frame:
+        extract + project-seed + LK + pose-GN. A single device dispatch per
+        frame (host<->device sync is the per-frame bottleneck — SURVEY.md
+        §7.4 'host-device latency'); the host FSM afterwards reads two
+        scalars to evaluate its gates."""
+        fc = self.cfg.features
+        tc = self.cfg.tracking
+        offsets = self._offsets
+        cam = self.cam
+
+        @jax.jit
+        def step(img_prev, img_curr, track_uv, track_mask, lm_pos, T_prior):
+            kp = fast.detect(
+                img_curr,
+                max_keypoints=fc.max_keypoints,
+                threshold=fc.fast_threshold,
+                arc_length=fc.fast_arc_length,
+                nms_radius=fc.nms_radius,
+                border=fc.brief_patch_radius + fc.blur_ksize // 2 + 4,
+                harris_k=fc.harris_k,
+            )
+            blurred = brief.gaussian_blur(
+                img_curr.astype(jnp.float32), fc.blur_ksize, fc.blur_sigma)
+            desc, _ = brief.describe(blurred, kp.uv, kp.mask, offsets)
+
+            pc = lie.transform_points(T_prior, lm_pos)
+            seed, z = cam.project(pc)
+            use = track_mask & (z > 0.25)
+            seed = jnp.where(use[:, None], seed, track_uv)
+
+            flow = lk.auto_track(
+                img_prev, img_curr, track_uv, seed, use,
+                levels=tc.lk_levels, half=tc.lk_window // 2,
+                iters=tc.lk_iters, eps=tc.lk_eps,
+                max_residual=tc.lk_max_residual,
+            )
+            n_flow = jnp.sum(flow.status.astype(jnp.int32))
+
+            solve = pose_solver.solve_pose(
+                T_prior, lm_pos, flow.uv, flow.status, cam,
+                iters=tc.gn_rounds * tc.gn_iters_per_round,
+                huber_delta=tc.huber_delta,
+                chi2_threshold=tc.chi2_threshold,
+            )
+            return (kp, desc, flow.uv, flow.status, solve.pose,
+                    solve.inlier_mask, n_flow, solve.n_inliers)
+
+        return step
+
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
         return k
@@ -142,14 +193,13 @@ class Frontend:
         self.frame_id += 1
         t0 = time.perf_counter()
         img_dev = jnp.asarray(img)
-        kp, desc = self._extract(img_dev)
-        t_extract = (time.perf_counter() - t0) * 1e3
 
-        if self.status == VOStatus.INIT:
+        if self.status == VOStatus.INIT or self.last_img is None:
+            kp, desc = self._extract(img_dev)
             res = self._handle_init(img_dev, kp, desc)
         else:
-            res = self._handle_tracking(img_dev, kp, desc)
-        res.timings_ms["extract"] = t_extract
+            kp, desc, res = self._handle_tracking(img_dev)
+        res.timings_ms["frame"] = (time.perf_counter() - t0) * 1e3
         res.n_keypoints = int(kp.count())
 
         self.last_img = img_dev
@@ -244,68 +294,39 @@ class Frontend:
         return True, info
 
     # ------------------------------------------------------------------ #
-    def _handle_tracking(self, img, kp, desc) -> FrameResult:
+    def _handle_tracking(self, img):
         tc = self.cfg.tracking
         t0 = time.perf_counter()
 
         # constant-velocity prior (reference LoopHandler.cc:138-140)
         T_prior = (self.rel_motion @ self.last_pose).astype(np.float32)
-
-        # project tracked landmarks into the predicted frame as LK seeds
-        # (reference trackLastFrame, LoopHandler.cc:327-352)
         lm_pos = self.map.landmark_pos[np.maximum(self.track_lm, 0)]
         alive = self.track_valid & (self.track_lm >= 0) & \
             self.map.landmark_alive[np.maximum(self.track_lm, 0)]
 
-        pc = lm_pos @ T_prior[:3, :3].T + T_prior[:3, 3]
-        z = pc[:, 2]
-        in_front = z > 0.25
-        zs = np.where(in_front, z, 1.0)
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
-        seed_uv = np.stack(
-            [fx * pc[:, 0] / zs + cx, fy * pc[:, 1] / zs + cy], axis=-1
-        ).astype(np.float32)
-        use = alive & in_front
-        seed_uv = np.where(use[:, None], seed_uv, self.track_uv)
-
-        flow = lk.track(
+        # ONE device dispatch: extract + project-seeded LK + pose-GN
+        # (reference does these as separate stages across two threads,
+        # SURVEY.md §3.2/§3.4)
+        (kp, desc, flow_uv_d, flow_ok_d, pose_d, inl_d, n_flow_d,
+         n_ba_d) = self._track_step(
             self.last_img, img,
-            jnp.asarray(self.track_uv), jnp.asarray(seed_uv),
-            jnp.asarray(use),
-            levels=tc.lk_levels, half=tc.lk_window // 2,
-            iters=tc.lk_iters, eps=tc.lk_eps,
-            max_residual=tc.lk_max_residual,
+            jnp.asarray(self.track_uv), jnp.asarray(alive),
+            jnp.asarray(lm_pos), jnp.asarray(T_prior),
         )
-        flow_uv = np.asarray(flow.uv)
-        flow_ok = np.asarray(flow.status)
-        n_flow = int(flow_ok.sum())
-        t_flow = (time.perf_counter() - t0) * 1e3
+        # host FSM gates read two scalars
+        n_flow, n_ba = jax.device_get((n_flow_d, n_ba_d))
+        n_flow, n_ba = int(n_flow), int(n_ba)
+        t_step = (time.perf_counter() - t0) * 1e3
 
         if n_flow < tc.min_flow_inliers:
-            return self._reset(kp, desc, n_matches=0, n_flow=n_flow)
-
-        # pose-only GN (reference optimizePoseOnly, LoopHandler.cc:730-861)
-        t0 = time.perf_counter()
-        solve = pose_solver.solve_pose(
-            jnp.asarray(T_prior),
-            jnp.asarray(lm_pos),
-            jnp.asarray(flow_uv),
-            jnp.asarray(flow_ok),
-            self.cam,
-            iters=tc.gn_rounds * tc.gn_iters_per_round,
-            huber_delta=tc.huber_delta,
-            chi2_threshold=tc.chi2_threshold,
-        )
-        n_ba = int(solve.n_inliers)
-        t_solve = (time.perf_counter() - t0) * 1e3
-
+            return kp, desc, self._reset(kp, desc, n_matches=0,
+                                         n_flow=n_flow)
         if n_ba < tc.min_ba_inliers:
-            return self._reset(kp, desc, n_matches=0, n_flow=n_flow,
-                               n_ba=n_ba)
+            return kp, desc, self._reset(kp, desc, n_matches=0,
+                                         n_flow=n_flow, n_ba=n_ba)
 
-        T_new = np.asarray(solve.pose)
-        inl = np.asarray(solve.inlier_mask)
+        flow_uv, flow_ok, T_new, inl = jax.device_get(
+            (flow_uv_d, flow_ok_d, pose_d, inl_d))
 
         # demote landmarks that were confidently tracked but rejected by the
         # pose solve (reference clears outlier features' map points,
@@ -332,11 +353,11 @@ class Frontend:
             if is_kf:
                 self._run_window_ba()
 
-        return FrameResult(
+        return kp, desc, FrameResult(
             self.frame_id, "TRACKING", self.last_pose.copy(),
             n_flow_inliers=n_flow, n_ba_inliers=n_ba,
             n_new_landmarks=n_new, is_keyframe=is_kf,
-            timings_ms={"flow": t_flow, "solve": t_solve},
+            timings_ms={"step": t_step, "ba": self._last_ba_ms if is_kf else 0.0},
         )
 
     # ------------------------------------------------------------------ #

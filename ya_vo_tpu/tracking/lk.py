@@ -132,6 +132,16 @@ def _track_level(
     return uv1, cond_ok, residual
 
 
+def auto_track(*args, **kwargs) -> "FlowResult":
+    """Backend-dispatching LK: the Pallas patch-DMA kernel on TPU (no HBM
+    gathers — see lk_pallas.py), the pure-jnp path elsewhere."""
+    if jax.default_backend() == "tpu":
+        from ya_vo_tpu.tracking import lk_pallas
+
+        return lk_pallas.track(*args, **kwargs)
+    return track(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit, static_argnames=("levels", "half", "iters")
 )

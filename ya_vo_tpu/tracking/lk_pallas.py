@@ -1,0 +1,269 @@
+"""Pallas TPU kernel for pyramidal Lucas-Kanade tracking.
+
+Why: the pure-jnp LK (ya_vo_tpu.tracking.lk) samples each keypoint's window
+with XLA gathers — ~9 ms per [N, 121] bilinear sample on a v5e, and the
+iteration loop needs ~90 of them (measured: 1.1 s/frame). This kernel
+eliminates HBM gathers entirely: per keypoint it DMAs
+
+  * one 16x16 template patch from the previous level image, and
+  * one 64x64 search patch from the current level image
+
+into VMEM, then runs the full 30-iteration inverse-compositional solve
+on-chip. Bilinear sampling becomes four shifted static slices of the VMEM
+patch blended on the VPU (all 121 window taps share one fractional offset
+per keypoint, so one [12,12] integer sub-window + a 4-tap blend covers the
+whole window). The search patch allows +-25 px of drift from the seed;
+tracks that walk outside are clamped and reported with a high residual so
+the caller's status gate drops them — same failure semantics as OpenCV's
+out-of-image tracks (reference uses cv::calcOpticalFlowPyrLK,
+src/LoopHandler.cc:372-375).
+
+The public `track()` here matches ya_vo_tpu.tracking.lk.track and is
+selected automatically on TPU backends (see lk.auto_track).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ya_vo_tpu.tracking.lk import FlowResult, build_pyramid
+
+KPB = 8       # keypoints per pallas program (block divisibility)
+# DMA slice starts must be tile-aligned (rows % 8 == 0, cols % 128 == 0 for
+# f32), so patch origins are aligned DOWN and the patch carries up to one
+# extra tile of residue in each dimension.
+TP_H = 24     # template patch rows (16 + 8 alignment residue)
+TP_W = 256    # template patch cols (128 + 128 residue; lane rotates need
+              # a 128-multiple width)
+SP_H = 72     # search patch rows
+SP_W = 256    # search patch cols
+HALF = 5      # 11x11 window
+
+
+def _blend(sub, au, av):
+    """Bilinear 4-tap blend of a [S, S] integer patch at fractional offset
+    (au, av) -> [S-1, S-1]."""
+    w00 = (1.0 - au) * (1.0 - av)
+    w01 = au * (1.0 - av)
+    w10 = (1.0 - au) * av
+    w11 = au * av
+    return (
+        w00 * sub[:-1, :-1] + w01 * sub[:-1, 1:]
+        + w10 * sub[1:, :-1] + w11 * sub[1:, 1:]
+    )
+
+
+def _lk_level_kernel(
+    uv0_ref, seed_ref, img0_ref, img1_ref,
+    out_uv_ref, out_eig_ref, out_res_ref,
+    tpatch, spatch, sem0, sem1,
+    *, H: int, W: int, iters: int, eps: float,
+):
+    # one program handles KPB keypoints (Mosaic needs block dims divisible
+    # by 8); per keypoint: template DMA, search DMA, on-chip iteration
+    for k in range(KPB):
+        u0 = uv0_ref[k, 0]
+        v0 = uv0_ref[k, 1]
+        tu = jnp.clip(jnp.floor(u0).astype(jnp.int32) - 7, 0, W - TP_W)
+        tv = jnp.clip(jnp.floor(v0).astype(jnp.int32) - 7, 0, H - TP_H)
+        tu = pl.multiple_of((tu // 128) * 128, 128)
+        tv = pl.multiple_of((tv // 8) * 8, 8)
+        dma0 = pltpu.make_async_copy(
+            img0_ref.at[pl.ds(tv, TP_H), pl.ds(tu, TP_W)], tpatch, sem0)
+        dma0.start()
+
+        us = seed_ref[k, 0]
+        vs = seed_ref[k, 1]
+        su = jnp.clip(jnp.floor(us).astype(jnp.int32) - SP_W // 2, 0, W - SP_W)
+        sv = jnp.clip(jnp.floor(vs).astype(jnp.int32) - SP_H // 2, 0, H - SP_H)
+        su = pl.multiple_of((su // 128) * 128, 128)
+        sv = pl.multiple_of((sv // 8) * 8, 8)
+        dma1 = pltpu.make_async_copy(
+            img1_ref.at[pl.ds(sv, SP_H), pl.ds(su, SP_W)], spatch, sem1)
+        dma1.start()
+
+        dma0.wait()
+        # template window + gradients from a 14x14 blended neighborhood:
+        # B[i, j] = img0(v0 + i - 6, u0 + j - 6) for i, j in 0..12
+        rtu = u0 - tu.astype(jnp.float32)   # in [6, 8) away from borders
+        rtv = v0 - tv.astype(jnp.float32)
+        # clamp: keypoints closer than ~7 px to the border sample a slightly
+        # shifted window; the residual gate handles the rest
+        bu = jnp.clip(jnp.floor(rtu).astype(jnp.int32) - 6, 0, TP_W - 14)
+        bv = jnp.clip(jnp.floor(rtv).astype(jnp.int32) - 6, 0, TP_H - 14)
+        # NOTE: rtu/rtv in [6, 135) / [6, 16) after alignment; bounds hold
+        au = rtu - jnp.floor(rtu)
+        av = rtv - jnp.floor(rtv)
+        # dynamic vector loads need tile-aligned starts in BOTH dims:
+        # slice rows at an 8-aligned start, then rotate away the small
+        # residue (rotates require tile-aligned shapes, which [16, TP_W] is)
+        sub = tpatch[:]                          # [TP_H, TP_W]
+        sub = pltpu.roll(sub, TP_H - bv, axis=0)
+        sub = pltpu.roll(sub, TP_W - bu, axis=1)[:14, :14]
+        B = _blend(sub, au, av)             # [13, 13]
+        T = B[1:12, 1:12]
+        gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
+        gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
+
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        trace = gxx + gyy
+        min_eig = (trace - jnp.sqrt(
+            jnp.maximum(trace * trace - 4.0 * det, 0.0))) * 0.5 / (11.0 * 11.0)
+        det_safe = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+        iG00 = gyy / det_safe
+        iG01 = -gxy / det_safe
+        iG11 = gxx / det_safe
+
+        dma1.wait()
+
+        # iterate in the search patch (positions relative to its origin)
+        suf = su.astype(jnp.float32)
+        svf = sv.astype(jnp.float32)
+        lo = 6.0
+        hi_u = SP_W - 8.0
+        hi_v = SP_H - 8.0
+
+        def sample_window(ru, rv):
+            bu1 = jnp.floor(ru).astype(jnp.int32) - 5
+            bv1 = jnp.floor(rv).astype(jnp.int32) - 5
+            au1 = ru - jnp.floor(ru)
+            av1 = rv - jnp.floor(rv)
+            # 24 rows cover the 12-row window at any 8-residue start
+            bv8 = jnp.minimum((bv1 // 8) * 8, SP_H - 24)
+            bv8 = pl.multiple_of(bv8, 8)
+            S = spatch[pl.ds(bv8, 24), :]          # [24, SP_W]
+            S = pltpu.roll(S, 24 - (bv1 - bv8), axis=0)
+            S = pltpu.roll(S, SP_W - bu1, axis=1)[:12, :12]
+            return _blend(S, au1, av1)   # [11, 11]
+
+        def body(_, carry):
+            ru, rv = carry
+            I = sample_window(ru, rv)
+            err = I - T
+            bx = jnp.sum(err * gx)
+            by = jnp.sum(err * gy)
+            du = -(iG00 * bx + iG01 * by)
+            dv = -(iG01 * bx + iG11 * by)
+            step = jnp.sqrt(du * du + dv * dv)
+            cont = step >= eps
+            ru = jnp.clip(jnp.where(cont, ru + du, ru), lo, hi_u)
+            rv = jnp.clip(jnp.where(cont, rv + dv, rv), lo, hi_v)
+            return ru, rv
+
+        ru0 = jnp.clip(us - suf, lo, hi_u)
+        rv0 = jnp.clip(vs - svf, lo, hi_v)
+        ru, rv = jax.lax.fori_loop(0, iters, body, (ru0, rv0))
+
+        I = sample_window(ru, rv)
+        res = jnp.mean(jnp.abs(I - T))
+
+        out_uv_ref[k, 0] = ru + suf
+        out_uv_ref[k, 1] = rv + svf
+        out_eig_ref[k, 0] = min_eig
+        out_res_ref[k, 0] = res
+
+
+def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
+    """One pyramid level for all keypoints. img*: [H, W] f32;
+    uv0/seed: [N, 2]. Returns (uv [N, 2], min_eig [N], residual [N])."""
+    # pad small levels so the fixed patch shapes always fit (DMA starts
+    # are clamped; padding is zeros and only reachable by failing tracks)
+    H0, W0 = img0.shape
+    pad_h = max(0, SP_H - H0)
+    pad_w = max(0, SP_W - W0)
+    # also round image dims up to tile multiples so aligned DMA starts
+    # always leave room for a full patch
+    pad_h = max(pad_h, -(H0 % -8) if H0 % 8 else 0)
+    pad_w = max(pad_w, -(W0 % -128) if W0 % 128 else 0)
+    if pad_h or pad_w:
+        img0 = jnp.pad(img0, ((0, pad_h), (0, pad_w)))
+        img1 = jnp.pad(img1, ((0, pad_h), (0, pad_w)))
+    H, W = img0.shape
+    N = uv0.shape[0]
+    kernel = functools.partial(
+        _lk_level_kernel, H=H, W=W, iters=iters, eps=eps)
+    if N % KPB != 0:
+        raise ValueError(f"keypoint count {N} must be a multiple of {KPB}")
+    uv, eig, res = pl.pallas_call(
+        kernel,
+        grid=(N // KPB,),
+        in_specs=[
+            pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 2), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TP_H, TP_W), jnp.float32),
+            pltpu.VMEM((SP_H, SP_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(uv0, seed, img0, img1)
+    return uv, eig[:, 0], res[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "half", "iters")
+)
+def track(
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    uv0: jnp.ndarray,
+    uv_init: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    levels: int = 3,
+    half: int = 5,
+    iters: int = 30,
+    eps: float = 0.01,
+    min_eig: float = 1e-3,
+    max_residual: float = 12.0,
+) -> FlowResult:
+    """Drop-in replacement for lk.track backed by the Pallas kernel.
+    `half` is fixed at 5 (11x11 window) by the kernel layout."""
+    del half
+    img0 = img0.astype(jnp.float32)
+    img1 = img1.astype(jnp.float32)
+    H, W = img0.shape
+    pyr0 = build_pyramid(img0, levels)
+    pyr1 = build_pyramid(img1, levels)
+
+    scale_top = 2.0 ** (levels - 1)
+    uv = uv_init / scale_top
+    cond_all = jnp.ones(uv0.shape[0], bool)
+    residual = jnp.zeros(uv0.shape[0], jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        s = 2.0 ** lvl
+        uv, eig, residual = _track_level_pallas(
+            pyr0[lvl], pyr1[lvl], uv0 / s, uv, iters, eps)
+        cond_all = cond_all & (eig > min_eig)
+        if lvl > 0:
+            uv = uv * 2.0
+
+    in_bounds = (
+        (uv[:, 0] >= HALF) & (uv[:, 0] < W - HALF)
+        & (uv[:, 1] >= HALF) & (uv[:, 1] < H - HALF)
+    )
+    status = mask & cond_all & in_bounds & (residual < max_residual)
+    return FlowResult(uv=uv, status=status, residual=residual)
