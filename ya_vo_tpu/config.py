@@ -90,6 +90,8 @@ class BAConfig:
     huber_delta: float = 2.4477
     damping: float = 1e-4
     min_keyframes: int = 3             # don't run BA below this window fill
+    every_n_keyframes: int = 2         # backend cadence
+    max_window_landmarks: int = 4096   # compacted landmark capacity
 
 
 @dataclass(frozen=True)

@@ -105,9 +105,12 @@ class Frontend:
         self.n_resets = 0
         self._last_ba_ms = 0.0
         self.n_ba_runs = 0
+        self._kf_ref_inliers = 0
 
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
+        self._replenish_step = self._build_replenish_step()
+        self._kf_since_ba = 0
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -179,6 +182,35 @@ class Frontend:
             )
             return (kp, desc, flow.uv, flow.status, solve.pose,
                     solve.inlier_mask, n_flow, solve.n_inliers)
+
+        return step
+
+    def _build_replenish_step(self):
+        """One fused jit for landmark replenishment: descriptor match +
+        suppression near already-tracked features + two-view triangulation."""
+        mc = self.cfg.matching
+
+        @jax.jit
+        def step(desc_prev, desc_curr, mask_prev, mask_curr,
+                 uv_prev, uv_curr, track_uv, track_valid, P1, P2):
+            m = matching.match(
+                desc_prev, desc_curr, mask_prev, mask_curr,
+                abs_threshold=mc.abs_threshold, cross_check=mc.cross_check,
+            )
+            uv1 = uv_prev
+            uv2 = uv_curr[m.idx2]
+            ok = m.mask
+            # suppress matches near existing tracked features (device-side;
+            # [K, K] distance matrix is one small matmul-shaped op)
+            d2 = jnp.sum(
+                (uv2[:, None, :] - track_uv[None, :, :]) ** 2, axis=-1)
+            near = jnp.any((d2 < 144.0) & track_valid[None, :], axis=1)
+            ok = ok & ~near
+
+            from ya_vo_tpu.geometry.triangulation import triangulate
+            pts_w, valid = triangulate(P1, P2, uv1, uv2, ok)
+            n_matches = jnp.sum(m.mask.astype(jnp.int32))
+            return uv1, uv2, pts_w, valid, n_matches
 
         return step
 
@@ -290,6 +322,7 @@ class Frontend:
 
         self.rel_motion = (T2 @ np.linalg.inv(T1)).astype(np.float32)
         self.last_pose = T2
+        self._kf_ref_inliers = n_new
         info["is_keyframe"] = True
         return True, info
 
@@ -344,13 +377,19 @@ class Frontend:
             np.float32)
         self.last_pose = T_new.astype(np.float32)
 
-        # keyframe / landmark replenishment
+        # keyframe policy: replenish when the tracked-inlier count decays
+        # below a fraction of its level at the last keyframe (or an absolute
+        # floor). The reference has no explicit keyframe logic — every
+        # successfully tracked frame enters the map (LoopHandler.cc:
+        # insertKeyFrame on every addFrame); a decay-based policy keeps
+        # triangulation baselines wide and the backend off the hot path.
         n_new, is_kf = 0, False
-        if n_ba < tc.min_ba_inliers * 2 or \
-                n_ba < self.cfg.matching.max_matches * tc.keyframe_min_inlier_ratio:
+        if n_ba < max(tc.min_ba_inliers * 2,
+                      int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers)):
             n_new = self._replenish(img, kp, desc)
             is_kf = n_new > 0
             if is_kf:
+                self._kf_ref_inliers = n_ba + n_new
                 self._run_window_ba()
 
         return kp, desc, FrameResult(
@@ -366,41 +405,23 @@ class Frontend:
         the current one and triangulating with the SOLVED poses (the
         correctly-scaled analog of reference triangulate2View(first=false),
         LoopHandler.cc:658-726)."""
-        mc = self.cfg.matching
-        m = matching.match(
-            self.last_desc, desc, self.last_kp.mask, kp.mask,
-            abs_threshold=mc.abs_threshold, cross_check=mc.cross_check,
-        )
-        mask = np.asarray(m.mask)
-        if mask.sum() < 8:
-            return 0
-        uv1 = np.asarray(self.last_kp.uv)
-        uv2 = np.asarray(kp.uv)[np.asarray(m.idx2)]
-
-        # suppress matches that land near existing tracked features
-        tracked = self.track_uv[self.track_valid]
-        if len(tracked):
-            d = np.linalg.norm(
-                uv2[:, None, :] - tracked[None, :, :], axis=-1)
-            near = (d < 12.0).any(axis=1)
-            mask = mask & ~near
-        if mask.sum() < 4:
-            return 0
-
-        from ya_vo_tpu.geometry.triangulation import triangulate
         K = np.asarray(self.cam.K)
-        T1 = self.trajectory[-1] if self.trajectory else np.eye(4)
         # NOTE: self.last_pose was already updated to the CURRENT frame;
         # the previous frame's pose is the last trajectory entry.
-        T_prev = T1
+        T_prev = self.trajectory[-1] if self.trajectory else np.eye(4)
         P1 = (K @ T_prev[:3, :4]).astype(np.float32)
         P2 = (K @ self.last_pose[:3, :4]).astype(np.float32)
-        pts_w, valid = triangulate(
+
+        # single fused dispatch: match + suppress-near-tracked + triangulate
+        out = self._replenish_step(
+            self.last_desc, desc, self.last_kp.mask, kp.mask,
+            self.last_kp.uv, kp.uv,
+            jnp.asarray(self.track_uv), jnp.asarray(self.track_valid),
             jnp.asarray(P1), jnp.asarray(P2),
-            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(mask),
         )
-        pts_w = np.asarray(pts_w)
-        valid = np.asarray(valid)
+        uv1, uv2, pts_w, valid, n_matches = jax.device_get(out)
+        if int(n_matches) < 8 or valid.sum() < 4:
+            return 0
 
         lm_idx = self.map.add_landmarks(pts_w, valid)
         created = lm_idx >= 0
@@ -433,6 +454,10 @@ class Frontend:
         bc = self.cfg.ba
         if not bc.enabled or self.map.n_keyframes < bc.min_keyframes:
             return
+        self._kf_since_ba += 1
+        if self._kf_since_ba < bc.every_n_keyframes:
+            return
+        self._kf_since_ba = 0
         from ya_vo_tpu.ba import window as ba_window
 
         W = self.cfg.map.window_size
@@ -453,22 +478,36 @@ class Frontend:
         pv = np.zeros(W, bool)
         pv[:n_real] = True
 
-        alive = self.map.landmark_alive.copy()
+        # compact: only the window's landmarks enter the problem (a fixed
+        # L_cap slice of the 16k global array would waste 4x compute and a
+        # 16k-landmark device->host pull per run)
+        L_cap = bc.max_window_landmarks
+        used = np.unique(lm_p[ok_p & (lm_p >= 0)])
+        used = used[self.map.landmark_alive[used]][:L_cap]
+        remap = np.full(self.map.max_landmarks, -1, np.int32)
+        remap[used] = np.arange(len(used), dtype=np.int32)
+        lm_compact = np.where(lm_p >= 0, remap[np.maximum(lm_p, 0)], -1)
+        ok_p = ok_p & (lm_compact >= 0)
+        lms_local = np.zeros((L_cap, 3), np.float32)
+        lms_local[: len(used)] = self.map.landmark_pos[used]
+        lm_valid = np.zeros(L_cap, bool)
+        lm_valid[: len(used)] = True
+
         prob = ba_window.BAProblem(
             poses=jnp.asarray(poses_p),
             pose_valid=jnp.asarray(pv),
-            landmarks=jnp.asarray(self.map.landmark_pos),
-            lm_valid=jnp.asarray(alive),
+            landmarks=jnp.asarray(lms_local),
+            lm_valid=jnp.asarray(lm_valid),
             obs_uv=jnp.asarray(uv_p),
-            obs_lm=jnp.asarray(lm_p),
+            obs_lm=jnp.asarray(lm_compact),
             obs_valid=jnp.asarray(ok_p),
         )
         t0 = time.perf_counter()
         res = ba_window.solve_window(
             prob, self.cam, iters=bc.iters,
             huber_delta=bc.huber_delta, damping=bc.damping)
-        new_poses = np.asarray(res.poses)[:n_real]
-        new_lms = np.asarray(res.landmarks)
+        new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
+        new_poses = new_poses[:n_real]
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
             return
@@ -479,7 +518,7 @@ class Frontend:
         # The newest keyframe IS the current frame (called right after
         # insert_keyframe in _replenish).
         self.map.update_keyframe_poses(slots, new_poses)
-        self.map.landmark_pos[:] = new_lms
+        self.map.landmark_pos[used] = new_lms[: len(used)]
         prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
         self.last_pose = new_poses[-1].astype(np.float32)
         self.rel_motion = (

@@ -143,7 +143,9 @@ def auto_track(*args, **kwargs) -> "FlowResult":
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "half", "iters")
+    jax.jit,
+    static_argnames=("levels", "half", "iters", "eps", "min_eig",
+                     "max_residual"),
 )
 def track(
     img0: jnp.ndarray,

@@ -62,33 +62,54 @@ def _blend(sub, au, av):
 def _lk_level_kernel(
     uv0_ref, seed_ref, img0_ref, img1_ref,
     out_uv_ref, out_eig_ref, out_res_ref,
-    tpatch, spatch, sem0, sem1,
+    tpatch_all, spatch_all, sem0, sem1,
     *, H: int, W: int, iters: int, eps: float,
 ):
     # one program handles KPB keypoints (Mosaic needs block dims divisible
-    # by 8); per keypoint: template DMA, search DMA, on-chip iteration
-    for k in range(KPB):
+    # by 8). Phase 1: issue ALL patch DMAs so transfers overlap each other
+    # and the per-keypoint compute (double-buffering across the block).
+    def patch_origin(k):
         u0 = uv0_ref[k, 0]
         v0 = uv0_ref[k, 1]
         tu = jnp.clip(jnp.floor(u0).astype(jnp.int32) - 7, 0, W - TP_W)
         tv = jnp.clip(jnp.floor(v0).astype(jnp.int32) - 7, 0, H - TP_H)
         tu = pl.multiple_of((tu // 128) * 128, 128)
         tv = pl.multiple_of((tv // 8) * 8, 8)
-        dma0 = pltpu.make_async_copy(
-            img0_ref.at[pl.ds(tv, TP_H), pl.ds(tu, TP_W)], tpatch, sem0)
-        dma0.start()
-
         us = seed_ref[k, 0]
         vs = seed_ref[k, 1]
         su = jnp.clip(jnp.floor(us).astype(jnp.int32) - SP_W // 2, 0, W - SP_W)
         sv = jnp.clip(jnp.floor(vs).astype(jnp.int32) - SP_H // 2, 0, H - SP_H)
         su = pl.multiple_of((su // 128) * 128, 128)
         sv = pl.multiple_of((sv // 8) * 8, 8)
-        dma1 = pltpu.make_async_copy(
-            img1_ref.at[pl.ds(sv, SP_H), pl.ds(su, SP_W)], spatch, sem1)
-        dma1.start()
+        return tu, tv, su, sv
 
-        dma0.wait()
+    def dmas(k):
+        tu, tv, su, sv = patch_origin(k)
+        d0 = pltpu.make_async_copy(
+            img0_ref.at[pl.ds(tv, TP_H), pl.ds(tu, TP_W)],
+            tpatch_all.at[k], sem0.at[k])
+        d1 = pltpu.make_async_copy(
+            img1_ref.at[pl.ds(sv, SP_H), pl.ds(su, SP_W)],
+            spatch_all.at[k], sem1.at[k])
+        return d0, d1
+
+    for k in range(KPB):
+        d0, d1 = dmas(k)
+        d0.start()
+        d1.start()
+
+    # Phase 2: process each keypoint as its patches land.
+    for k in range(KPB):
+        u0 = uv0_ref[k, 0]
+        v0 = uv0_ref[k, 1]
+        us = seed_ref[k, 0]
+        vs = seed_ref[k, 1]
+        tu, tv, su, sv = patch_origin(k)
+        d0, d1 = dmas(k)
+        tpatch = tpatch_all.at[k]
+        spatch = spatch_all.at[k]
+
+        d0.wait()
         # template window + gradients from a 14x14 blended neighborhood:
         # B[i, j] = img0(v0 + i - 6, u0 + j - 6) for i, j in 0..12
         rtu = u0 - tu.astype(jnp.float32)   # in [6, 8) away from borders
@@ -123,7 +144,7 @@ def _lk_level_kernel(
         iG01 = -gxy / det_safe
         iG11 = gxx / det_safe
 
-        dma1.wait()
+        d1.wait()
 
         # iterate in the search patch (positions relative to its origin)
         suf = su.astype(jnp.float32)
@@ -145,8 +166,15 @@ def _lk_level_kernel(
             S = pltpu.roll(S, SP_W - bu1, axis=1)[:12, :12]
             return _blend(S, au1, av1)   # [11, 11]
 
-        def body(_, carry):
-            ru, rv = carry
+        # early-exit iteration: most tracks converge in < 10 steps, and the
+        # dynamic-rotate window extraction is the kernel's dominant cost —
+        # a while_loop cuts it ~3-5x vs a fixed 30-iteration fori_loop
+        def cond(carry):
+            _, _, it, step = carry
+            return (it < iters) & (step >= eps)
+
+        def body(carry):
+            ru, rv, it, _ = carry
             I = sample_window(ru, rv)
             err = I - T
             bx = jnp.sum(err * gx)
@@ -154,14 +182,14 @@ def _lk_level_kernel(
             du = -(iG00 * bx + iG01 * by)
             dv = -(iG01 * bx + iG11 * by)
             step = jnp.sqrt(du * du + dv * dv)
-            cont = step >= eps
-            ru = jnp.clip(jnp.where(cont, ru + du, ru), lo, hi_u)
-            rv = jnp.clip(jnp.where(cont, rv + dv, rv), lo, hi_v)
-            return ru, rv
+            ru = jnp.clip(ru + du, lo, hi_u)
+            rv = jnp.clip(rv + dv, lo, hi_v)
+            return ru, rv, it + 1, step
 
         ru0 = jnp.clip(us - suf, lo, hi_u)
         rv0 = jnp.clip(vs - svf, lo, hi_v)
-        ru, rv = jax.lax.fori_loop(0, iters, body, (ru0, rv0))
+        ru, rv, _, _ = jax.lax.while_loop(
+            cond, body, (ru0, rv0, jnp.int32(0), jnp.float32(1e9)))
 
         I = sample_window(ru, rv)
         res = jnp.mean(jnp.abs(I - T))
@@ -213,10 +241,10 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TP_H, TP_W), jnp.float32),
-            pltpu.VMEM((SP_H, SP_W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((KPB, TP_H, TP_W), jnp.float32),
+            pltpu.VMEM((KPB, SP_H, SP_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((KPB,)),
+            pltpu.SemaphoreType.DMA((KPB,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(uv0, seed, img0, img1)
@@ -224,7 +252,9 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "half", "iters")
+    jax.jit,
+    static_argnames=("levels", "half", "iters", "eps", "min_eig",
+                     "max_residual"),
 )
 def track(
     img0: jnp.ndarray,
