@@ -125,7 +125,7 @@ class TestLK:
         """Track between two rendered frames; recovered flow must match the
         ground-truth projected landmark displacement."""
         imgs, poses, lms, cam = synthetic.render_sequence(
-            n_frames=2, n_landmarks=60, height=256, width=512,
+            n_frames=2, n_landmarks=160, height=256, width=512,
             step=0.3, seed=2,
         )
         uv, vis = synthetic.project_tracks(
@@ -133,17 +133,18 @@ class TestLK:
         both = vis[0] & vis[1]
         uv0 = uv[0][both]
         uv1_true = uv[1][both]
-        # render_scene stamps at the ROUNDED projection; track from the
-        # rounded positions to stay on-texture
-        uv0r = np.round(uv0)
-        shift_true = np.round(uv1_true) - uv0r  # stamps move by integer steps
+        shift_true = uv1_true - uv0  # renderer is subpixel-accurate
         res = lk.track(
             jnp.asarray(imgs[0]), jnp.asarray(imgs[1]),
-            jnp.asarray(uv0r, jnp.float32), jnp.asarray(uv0r, jnp.float32),
-            jnp.ones(uv0r.shape[0], bool),
+            jnp.asarray(uv0, jnp.float32), jnp.asarray(uv0, jnp.float32),
+            jnp.ones(uv0.shape[0], bool),
+            # the high-contrast checker stamps interpolate with large
+            # photometric deltas at sub-pixel shifts; relax the residual
+            # gate so status reflects geometry, not stamp contrast
+            max_residual=30.0,
         )
         ok = np.asarray(res.status)
-        assert ok.sum() >= 0.6 * len(uv0r), (ok.sum(), len(uv0r))
+        assert ok.sum() >= 0.5 * len(uv0), (ok.sum(), len(uv0))
         err = np.linalg.norm(
-            (np.asarray(res.uv)[ok] - uv0r[ok]) - shift_true[ok], axis=-1)
-        assert np.median(err) < 1.0, np.median(err)
+            (np.asarray(res.uv)[ok] - uv0[ok]) - shift_true[ok], axis=-1)
+        assert np.median(err) < 0.5, np.median(err)

@@ -106,6 +106,11 @@ class Frontend:
         self._last_ba_ms = 0.0
         self.n_ba_runs = 0
         self._kf_ref_inliers = 0
+        # last-keyframe context: replenishment triangulates against the
+        # last KEYFRAME (not the previous frame) so baselines stay wide
+        self._kf_desc = None
+        self._kf_kp = None
+        self._kf_pose = np.eye(4, dtype=np.float32)
 
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
@@ -251,6 +256,8 @@ class Frontend:
         ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=False)
         if ok:
             self.status = VOStatus.TRACKING
+            self._kf_desc, self._kf_kp = desc, kp
+            self._kf_pose = self.last_pose.copy()
         return FrameResult(
             self.frame_id, "INIT" if not ok else "TRACKING",
             self.last_pose.copy(), **info,
@@ -324,7 +331,7 @@ class Frontend:
         self.last_pose = T2
         self._kf_ref_inliers = n_new
         info["is_keyframe"] = True
-        return True, info
+        return True, info  # caller records keyframe context in process()
 
     # ------------------------------------------------------------------ #
     def _handle_tracking(self, img):
@@ -406,16 +413,22 @@ class Frontend:
         correctly-scaled analog of reference triangulate2View(first=false),
         LoopHandler.cc:658-726)."""
         K = np.asarray(self.cam.K)
-        # NOTE: self.last_pose was already updated to the CURRENT frame;
-        # the previous frame's pose is the last trajectory entry.
-        T_prev = self.trajectory[-1] if self.trajectory else np.eye(4)
-        P1 = (K @ T_prev[:3, :4]).astype(np.float32)
+        # triangulate against the last KEYFRAME for a wide baseline
+        # (consecutive-frame baselines make depth noise explode); fall back
+        # to the previous frame when no keyframe context exists
+        if self._kf_desc is not None:
+            ref_desc, ref_kp = self._kf_desc, self._kf_kp
+            T_ref = self._kf_pose
+        else:
+            ref_desc, ref_kp = self.last_desc, self.last_kp
+            T_ref = self.trajectory[-1] if self.trajectory else np.eye(4)
+        P1 = (K @ T_ref[:3, :4]).astype(np.float32)
         P2 = (K @ self.last_pose[:3, :4]).astype(np.float32)
 
         # single fused dispatch: match + suppress-near-tracked + triangulate
         out = self._replenish_step(
-            self.last_desc, desc, self.last_kp.mask, kp.mask,
-            self.last_kp.uv, kp.uv,
+            ref_desc, desc, ref_kp.mask, kp.mask,
+            ref_kp.uv, kp.uv,
             jnp.asarray(self.track_uv), jnp.asarray(self.track_valid),
             jnp.asarray(P1), jnp.asarray(P2),
         )
@@ -443,6 +456,8 @@ class Frontend:
         self.map.insert_keyframe(
             self.frame_id, self.last_pose,
             self.track_uv, self.track_lm, self.track_valid)
+        self._kf_desc, self._kf_kp = desc, kp
+        self._kf_pose = self.last_pose.copy()
         return n_new
 
     # ------------------------------------------------------------------ #
@@ -536,6 +551,8 @@ class Frontend:
             # hold pose (constant position) until re-init succeeds
         else:
             self.status = VOStatus.TRACKING
+            self._kf_desc, self._kf_kp = desc, kp
+            self._kf_pose = self.last_pose.copy()
         return FrameResult(
             self.frame_id, "RESET", self.last_pose.copy(),
             n_flow_inliers=n_flow, n_ba_inliers=n_ba, reset=True,

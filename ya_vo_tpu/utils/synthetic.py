@@ -120,10 +120,17 @@ def _landmark_stamp(index: int, seed: int) -> np.ndarray:
 def render_scene(
     landmarks: np.ndarray, pose_wc: np.ndarray, cam: Camera,
     height: int, width: int, seed: int = 3,
-    background: int = 25,
+    background: int = 25, subpixel: bool = True,
 ) -> np.ndarray:
     """Render one frame: each visible landmark's unique texture stamp is
-    drawn centered at its (rounded) projection. uint8 [H, W]."""
+    drawn centered at its projection. uint8 [H, W].
+
+    With `subpixel` (default) the stamp is bilinearly shifted by the
+    fractional part of the projection, so inter-frame motion carries true
+    subpixel information — without it, stamps snap to integer pixels and
+    optical-flow errors are dominated by rendering quantization rather
+    than the tracker.
+    """
     rng = np.random.default_rng(seed)
     img = np.full((height, width), background, dtype=np.float32)
     img += rng.normal(0.0, 1.5, size=img.shape)  # mild sensor noise
@@ -138,15 +145,31 @@ def render_scene(
         zi = z[i]
         if zi <= 0.25:
             continue
-        u = int(round(float(cam.fx) * pc[i, 0] / zi + float(cam.cx)))
-        v = int(round(float(cam.fy) * pc[i, 1] / zi + float(cam.cy)))
-        if u < h or v < h or u >= width - h or v >= height - h:
+        uf = float(cam.fx) * pc[i, 0] / zi + float(cam.cx)
+        vf = float(cam.fy) * pc[i, 1] / zi + float(cam.cy)
+        u, v = int(np.floor(uf)), int(np.floor(vf))
+        if u < h + 1 or v < h + 1 or u >= width - h - 2 or v >= height - h - 2:
             continue
         stamp = _landmark_stamp(int(i), seed)
-        region = img[v - h:v + h + 1, u - h:u + h + 1]
-        img[v - h:v + h + 1, u - h:u + h + 1] = np.where(
-            stamp > 0, stamp, region
-        )
+        if subpixel:
+            au, av = uf - u, vf - v
+            # bilinear shift of the stamp (+1 px apron)
+            side = stamp.shape[0]
+            pad = np.zeros((side + 1, side + 1), np.float32)
+            pad[:side, :side] = stamp
+            shifted = (
+                (1 - au) * (1 - av) * pad[:side, :side]
+                + au * (1 - av) * np.roll(pad, 1, axis=1)[:side, :side]
+                + (1 - au) * av * np.roll(pad, 1, axis=0)[:side, :side]
+                + au * av * np.roll(np.roll(pad, 1, 0), 1, 1)[:side, :side]
+            )
+            region = img[v - h:v + h + 1, u - h:u + h + 1]
+            img[v - h:v + h + 1, u - h:u + h + 1] = np.where(
+                shifted > 8.0, shifted, region)
+        else:
+            region = img[v - h:v + h + 1, u - h:u + h + 1]
+            img[v - h:v + h + 1, u - h:u + h + 1] = np.where(
+                stamp > 0, stamp, region)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
