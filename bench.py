@@ -24,6 +24,13 @@ REF_FPS_EST = 10.0
 
 def main():
     import jax
+    # persistent compile cache: repeated runs (and the driver's fresh
+    # processes) skip recompilation
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from ya_vo_tpu.tracking.frontend import Frontend
     from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
