@@ -171,16 +171,21 @@ def _reduced_system(r, Jp, Jl, w, obs_lm, n_landmarks: int, damping):
     return S, b_red, Hll_inv, bl, Wpl
 
 
-def _gauge_fix(S, b_red, first_pose_weight: float = 1e8):
-    """Pin the first pose by adding a huge diagonal to its block."""
+def _gauge_fix(S, b_red, n_fixed: int = 1, pose_weight: float = 1e8):
+    """Pin the first `n_fixed` poses by adding a huge diagonal to their
+    blocks. One pinned pose fixes the SE(3) gauge; a second also pins the
+    monocular SCALE gauge (otherwise window-to-window scale wanders under
+    observation noise and the trajectory accumulates scale drift)."""
     W = S.shape[0]
-    pin = jnp.zeros((W,), S.dtype).at[0].set(first_pose_weight)
+    pin = jnp.zeros((W,), S.dtype)
+    for i in range(n_fixed):
+        pin = pin.at[i].set(pose_weight)
     eye6 = jnp.eye(6, dtype=S.dtype)
     S = S + jnp.einsum("w,kl,wv->wkvl", pin, eye6, jnp.eye(W, dtype=S.dtype))
     return S, b_red
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "n_fixed_poses"))
 def solve_window(
     prob: BAProblem,
     cam: Camera,
@@ -188,6 +193,7 @@ def solve_window(
     iters: int = 8,
     huber_delta: float = 2.4477,
     damping: float = 1e-4,
+    n_fixed_poses: int = 1,
 ) -> BAResult:
     """Run `iters` damped GN steps on the window problem."""
     L = prob.landmarks.shape[0]
@@ -206,7 +212,7 @@ def solve_window(
                                         huber_delta)
         S, b_red, Hll_inv, bl, Wpl = _reduced_system(
             r, Jp, Jl, w, prob.obs_lm, L, damping)
-        S, b_red = _gauge_fix(S, b_red)
+        S, b_red = _gauge_fix(S, b_red, n_fixed=n_fixed_poses)
         S = S + damping * jnp.einsum(
             "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype), jnp.eye(6, dtype=S.dtype))
 
@@ -214,7 +220,8 @@ def solve_window(
         dxp = jnp.linalg.solve(Sm, b_red.reshape(-1)).reshape(W, 6)
         ok = jnp.all(jnp.isfinite(dxp))
         dxp = jnp.where(ok, dxp, 0.0)
-        dxp = dxp.at[0].set(0.0)  # hard gauge: first pose fixed
+        for i in range(n_fixed_poses):  # hard gauge
+            dxp = dxp.at[i].set(0.0)
 
         # landmark back-substitution
         rhs = bl - jnp.einsum("lwik,wi->lk", Wpl, dxp,

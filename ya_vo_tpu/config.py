@@ -92,6 +92,7 @@ class BAConfig:
     min_keyframes: int = 3             # don't run BA below this window fill
     every_n_keyframes: int = 2         # backend cadence
     max_window_landmarks: int = 4096   # compacted landmark capacity
+    asynchronous: bool = True          # run BA on a backend thread
 
 
 @dataclass(frozen=True)

@@ -111,11 +111,22 @@ class Frontend:
         self._kf_desc = None
         self._kf_kp = None
         self._kf_pose = np.eye(4, dtype=np.float32)
+        self._kf_img = None
+        # feature positions in the ANCHOR keyframe: LK tracks from the
+        # keyframe template to the current frame (template anchoring), so
+        # per-frame tracking error does not random-walk
+        self.track_anchor_uv = np.zeros((K_cap, 2), np.float32)
 
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
         self._replenish_step = self._build_replenish_step()
         self._kf_since_ba = 0
+        # backend thread state
+        import concurrent.futures
+        self._ba_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ba-backend")
+        self._ba_pending = None
+        self._session_epoch = 0
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -228,6 +239,7 @@ class Frontend:
         """Feed one grayscale frame (reference addFrame,
         src/LoopHandler.cc:80-122)."""
         self.frame_id += 1
+        self._poll_ba()
         t0 = time.perf_counter()
         img_dev = jnp.asarray(img)
 
@@ -239,6 +251,9 @@ class Frontend:
         res.timings_ms["frame"] = (time.perf_counter() - t0) * 1e3
         res.n_keypoints = int(kp.count())
 
+        if res.is_keyframe:
+            self._kf_img = img_dev
+            self.track_anchor_uv = self.track_uv.copy()
         self.last_img = img_dev
         self.last_kp = kp
         self.last_desc = desc
@@ -318,6 +333,7 @@ class Frontend:
         self.map.insert_keyframe(
             self.frame_id, T2, uv2_np, lm_idx, lm_idx >= 0)
 
+        self._session_epoch += 1  # invalidate in-flight backend work
         # track table for the CURRENT frame (becomes "last" after process())
         self.track_uv.fill(0)
         self.track_lm.fill(-1)
@@ -344,13 +360,22 @@ class Frontend:
         alive = self.track_valid & (self.track_lm >= 0) & \
             self.map.landmark_alive[np.maximum(self.track_lm, 0)]
 
+        # template anchoring: track from the last KEYFRAME image/positions
+        # when available (no frame-to-frame drift accumulation)
+        if self._kf_img is not None:
+            src_img = self._kf_img
+            src_uv = self.track_anchor_uv
+        else:
+            src_img = self.last_img
+            src_uv = self.track_uv
+
         # ONE device dispatch: extract + project-seeded LK + pose-GN
         # (reference does these as separate stages across two threads,
         # SURVEY.md §3.2/§3.4)
         (kp, desc, flow_uv_d, flow_ok_d, pose_d, inl_d, n_flow_d,
          n_ba_d) = self._track_step(
-            self.last_img, img,
-            jnp.asarray(self.track_uv), jnp.asarray(alive),
+            src_img, img,
+            jnp.asarray(src_uv), jnp.asarray(alive),
             jnp.asarray(lm_pos), jnp.asarray(T_prior),
         )
         # host FSM gates read two scalars
@@ -475,11 +500,46 @@ class Frontend:
         self._kf_since_ba = 0
         from ya_vo_tpu.ba import window as ba_window
 
+        job = self._build_window_problem()
+        if job is None:
+            return
+        prob, slots, used, n_real = job
+        anchor_old = self.map.kf_pose[slots[-1]].copy()
+
+        def solve():
+            t0 = time.perf_counter()
+            res = ba_window.solve_window(
+                prob, self.cam, iters=bc.iters,
+                huber_delta=bc.huber_delta, damping=bc.damping,
+                n_fixed_poses=2)
+            out = jax.device_get((res.poses, res.landmarks))
+            return out, (time.perf_counter() - t0) * 1e3
+
+        if bc.asynchronous:
+            # backend thread (the two-thread split the reference implements
+            # with std::thread for VO+viewer, src/main.cc:11-12, here for
+            # frontend+backend): tracking continues while GN runs
+            if self._ba_pending is not None:
+                return  # one in flight at a time
+            fut = self._ba_executor.submit(solve)
+            self._ba_pending = (fut, slots, used, n_real, anchor_old,
+                                self._session_epoch)
+        else:
+            (new_poses, new_lms), ms = solve()
+            self._apply_ba_result(new_poses, new_lms, slots, used, n_real,
+                                  anchor_old, ms)
+
+    def _build_window_problem(self):
+        """Snapshot the active window into a fixed-shape, landmark-compacted
+        BAProblem. Returns (prob, slots, used, n_real) or None."""
+        from ya_vo_tpu.ba import window as ba_window
+
+        bc = self.cfg.ba
         W = self.cfg.map.window_size
         slots, poses, obs_uv, obs_lm, obs_valid = self.map.active_window(W)
         n_real = len(slots)
         if n_real < bc.min_keyframes:
-            return
+            return None
         # pad the window to the static shape [W, O]
         O = obs_uv.shape[1]
         poses_p = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
@@ -517,27 +577,53 @@ class Frontend:
             obs_lm=jnp.asarray(lm_compact),
             obs_valid=jnp.asarray(ok_p),
         )
-        t0 = time.perf_counter()
-        res = ba_window.solve_window(
-            prob, self.cam, iters=bc.iters,
-            huber_delta=bc.huber_delta, damping=bc.damping)
-        new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
+        return prob, slots, used, n_real
+
+    def _apply_ba_result(self, new_poses, new_lms, slots, used, n_real,
+                         anchor_old, ms) -> None:
         new_poses = new_poses[:n_real]
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
             return
-        self._last_ba_ms = (time.perf_counter() - t0) * 1e3
+        self._last_ba_ms = ms
         self.n_ba_runs += 1
 
-        # write back: keyframe poses, landmark positions, live pose.
-        # The newest keyframe IS the current frame (called right after
-        # insert_keyframe in _replenish).
+        # write back keyframe poses + landmark positions, then re-anchor the
+        # live pose: the frame chain since the newest window keyframe is
+        # preserved while that keyframe's pose moves from anchor_old to its
+        # optimized value (T_live' = T_live anchor_old^-1 anchor_new)
         self.map.update_keyframe_poses(slots, new_poses)
         self.map.landmark_pos[used] = new_lms[: len(used)]
+        anchor_new = new_poses[-1]
+        corr = np.linalg.inv(anchor_old) @ anchor_new
         prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
-        self.last_pose = new_poses[-1].astype(np.float32)
+        self.last_pose = (self.last_pose @ corr).astype(np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
+        self._kf_pose = (self._kf_pose @ corr).astype(np.float32)
+
+    def _poll_ba(self) -> None:
+        """Apply a finished backend result (frontend-thread side)."""
+        if self._ba_pending is None:
+            return
+        fut, slots, used, n_real, anchor_old, epoch = self._ba_pending
+        if not fut.done():
+            return
+        self._ba_pending = None
+        if epoch != self._session_epoch:
+            return  # a reset invalidated the window snapshot
+        try:
+            (new_poses, new_lms), ms = fut.result()
+        except Exception:
+            return
+        self._apply_ba_result(new_poses, new_lms, slots, used, n_real,
+                              anchor_old, ms)
+
+    def finish(self) -> None:
+        """Drain any in-flight backend work (end of sequence)."""
+        if self._ba_pending is not None:
+            self._ba_pending[0].result()
+            self._poll_ba()
 
     # ------------------------------------------------------------------ #
     def _reset(self, kp, desc, n_matches=0, n_flow=0, n_ba=0) -> FrameResult:
@@ -566,4 +652,5 @@ class Frontend:
         (reference runVO, src/LoopHandler.cc:517-530)."""
         for img in frames:
             self.process(img)
+        self.finish()
         return np.stack(self.trajectory)
