@@ -113,3 +113,25 @@ def test_image_stream_npy(tmp_path):
     frames = list(stream)
     assert len(frames) == 3
     assert frames[1].mean() == 1
+
+
+def test_draw_matches_and_epilines(tmp_path, rng):
+    img1 = rng.integers(0, 255, (120, 200), dtype=np.uint8)
+    img2 = rng.integers(0, 255, (120, 200), dtype=np.uint8)
+    uv1 = rng.uniform([10, 10], [190, 110], (20, 2)).astype(np.float32)
+    uv2 = uv1 + rng.normal(0, 2, uv1.shape).astype(np.float32)
+    p = render.draw_matches(img1, img2, uv1, uv2,
+                            out_path=str(tmp_path / "m.png"))
+    assert os.path.getsize(p) > 1000
+    F = np.array([[0, -1e-5, 1e-2], [1e-5, 0, -1e-2], [-1e-2, 1e-2, 1.0]])
+    p2 = render.draw_epipolar_lines(img1, img2, F, uv1[:8],
+                                    out_path=str(tmp_path / "e.png"))
+    assert os.path.getsize(p2) > 1000
+
+
+def test_package_api():
+    import ya_vo_tpu
+
+    fe = ya_vo_tpu.create_frontend()
+    assert fe.cfg.features.fast_threshold == 40
+    assert ya_vo_tpu.VOConfig().sequence == "00"

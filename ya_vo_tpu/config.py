@@ -92,7 +92,11 @@ class BAConfig:
     min_keyframes: int = 3             # don't run BA below this window fill
     every_n_keyframes: int = 2         # backend cadence
     max_window_landmarks: int = 4096   # compacted landmark capacity
-    asynchronous: bool = True          # run BA on a backend thread
+    # Run BA on a backend thread. EXPERIMENTAL: stable on short sequences,
+    # but correction feedback under accumulated drift can destabilize long
+    # runs (seen on the 40-frame synthetic bench); default off until the
+    # apply-time re-anchoring is made drift-proof.
+    asynchronous: bool = False
 
 
 @dataclass(frozen=True)

@@ -522,8 +522,11 @@ class Frontend:
             if self._ba_pending is not None:
                 return  # one in flight at a time
             fut = self._ba_executor.submit(solve)
-            self._ba_pending = (fut, slots, used, n_real, anchor_old,
-                                self._session_epoch)
+            self._ba_pending = dict(
+                fut=fut, slots=slots, used=used, n_real=n_real,
+                anchor_old=anchor_old, epoch=self._session_epoch,
+                n_kf=self.map.n_keyframes, n_lm=self.map.n_landmarks,
+            )
         else:
             (new_poses, new_lms), ms = solve()
             self._apply_ba_result(new_poses, new_lms, slots, used, n_real,
@@ -580,7 +583,8 @@ class Frontend:
         return prob, slots, used, n_real
 
     def _apply_ba_result(self, new_poses, new_lms, slots, used, n_real,
-                         anchor_old, ms) -> None:
+                         anchor_old, ms, n_kf_snap=None, n_lm_snap=None
+                         ) -> None:
         new_poses = new_poses[:n_real]
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
@@ -595,7 +599,22 @@ class Frontend:
         self.map.update_keyframe_poses(slots, new_poses)
         self.map.landmark_pos[used] = new_lms[: len(used)]
         anchor_new = new_poses[-1]
-        corr = np.linalg.inv(anchor_old) @ anchor_new
+        corr = (np.linalg.inv(anchor_old) @ anchor_new).astype(np.float32)
+
+        # anything created AFTER the snapshot still lives in the pre-BA
+        # coordinate frame: move those keyframes (T' = T corr) and those
+        # landmarks (X' = corr^-1 X as points) into the corrected frame,
+        # else the map splits into two inconsistent segments and the next
+        # window diverges
+        if n_kf_snap is not None and self.map.n_keyframes > n_kf_snap:
+            sl = np.arange(n_kf_snap, self.map.n_keyframes)
+            self.map.kf_pose[sl] = self.map.kf_pose[sl] @ corr
+        if n_lm_snap is not None and self.map.n_landmarks > n_lm_snap:
+            inv_c = np.linalg.inv(corr)
+            pts = self.map.landmark_pos[n_lm_snap: self.map.n_landmarks]
+            self.map.landmark_pos[n_lm_snap: self.map.n_landmarks] = (
+                pts @ inv_c[:3, :3].T + inv_c[:3, 3])
+
         prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
         self.last_pose = (self.last_pose @ corr).astype(np.float32)
         self.rel_motion = (
@@ -606,23 +625,24 @@ class Frontend:
         """Apply a finished backend result (frontend-thread side)."""
         if self._ba_pending is None:
             return
-        fut, slots, used, n_real, anchor_old, epoch = self._ba_pending
-        if not fut.done():
+        p = self._ba_pending
+        if not p["fut"].done():
             return
         self._ba_pending = None
-        if epoch != self._session_epoch:
+        if p["epoch"] != self._session_epoch:
             return  # a reset invalidated the window snapshot
         try:
-            (new_poses, new_lms), ms = fut.result()
+            (new_poses, new_lms), ms = p["fut"].result()
         except Exception:
             return
-        self._apply_ba_result(new_poses, new_lms, slots, used, n_real,
-                              anchor_old, ms)
+        self._apply_ba_result(
+            new_poses, new_lms, p["slots"], p["used"], p["n_real"],
+            p["anchor_old"], ms, n_kf_snap=p["n_kf"], n_lm_snap=p["n_lm"])
 
     def finish(self) -> None:
         """Drain any in-flight backend work (end of sequence)."""
         if self._ba_pending is not None:
-            self._ba_pending[0].result()
+            self._ba_pending["fut"].result()
             self._poll_ba()
 
     # ------------------------------------------------------------------ #
