@@ -54,3 +54,12 @@ def test_scaling_smoke_large_landmarks():
     poses_d, lms_d, c0, c1 = solve(dprob)
     assert float(c1) < float(c0)
     assert np.all(np.isfinite(np.asarray(poses_d)))
+
+
+def test_scaling_harness_runs():
+    from ya_vo_tpu.parallel.scaling_bench import measure
+
+    rows = measure(L=2048, W=4, iters=2, device_counts=[1, 8], repeats=1)
+    assert len(rows) == 2
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 8
+    assert rows[0]["ms_per_gn_iter"] > 0
