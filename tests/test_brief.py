@@ -108,3 +108,17 @@ def test_two_view_matching_rendered():
     assert np.median(disp) < 40.0
     # at least 80% of matches should be sub-25px (squares move slowly here)
     assert np.mean(disp < 25.0) > 0.8
+
+
+def test_pallas_hamming_matches_oracle():
+    """Pallas MXU kernel (interpret mode on CPU) == numpy popcount oracle."""
+    from ya_vo_tpu.features.pallas_hamming import hamming_matrix_pallas
+
+    rng = np.random.default_rng(7)
+    d1 = rng.integers(0, 2**32, (256, 8), dtype=np.uint32)
+    d2 = rng.integers(0, 2**32, (512, 8), dtype=np.uint32)
+    D = np.asarray(hamming_matrix_pallas(jnp.asarray(d1), jnp.asarray(d2)))
+    b1 = np.unpackbits(d1.view(np.uint8), axis=1)
+    b2 = np.unpackbits(d2.view(np.uint8), axis=1)
+    oracle = (b1[:, None, :] != b2[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(D, oracle)

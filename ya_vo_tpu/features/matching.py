@@ -51,15 +51,21 @@ def hamming_matrix(
     mask1: jnp.ndarray, mask2: jnp.ndarray,
 ) -> jnp.ndarray:
     """[K1, K2] int32 Hamming distances; invalid rows/cols = INVALID_DIST."""
-    n_bits = desc1.shape[1] * 32
-    a = unpack_pm1(desc1)
-    b = unpack_pm1(desc2)
-    dots = jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [K1, K2]
-    dist = (n_bits - dots) // 2
+    K1, K2 = desc1.shape[0], desc2.shape[0]
+    if jax.default_backend() == "tpu" and K1 % 256 == 0 and K2 % 256 == 0:
+        from ya_vo_tpu.features.pallas_hamming import hamming_matrix_pallas
+
+        dist = hamming_matrix_pallas(desc1, desc2)
+    else:
+        n_bits = desc1.shape[1] * 32
+        a = unpack_pm1(desc1)
+        b = unpack_pm1(desc2)
+        dots = jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [K1, K2]
+        dist = (n_bits - dots) // 2
     valid = mask1[:, None] & mask2[None, :]
     return jnp.where(valid, dist, INVALID_DIST)
 
