@@ -111,3 +111,30 @@ def test_rendered_scene_detection():
     # scores are sorted descending among valid entries
     sc = np.asarray(kps.score)[np.asarray(kps.mask)]
     assert np.all(np.diff(sc) <= 1e-3)
+
+
+def test_pallas_score_map_matches_jnp():
+    """Fused Pallas score kernel (interpret mode on CPU) == jnp pipeline on
+    the interior (borders differ only in wrap source, masked anyway)."""
+    from ya_vo_tpu.features import pallas_fast
+
+    imgs, *_ = synthetic.render_sequence(
+        n_frames=1, n_landmarks=80, height=128, width=256, seed=4)
+    img_f = jnp.asarray(imgs[0], jnp.float32)
+
+    is_corner = fast.fast_response(img_f, 40.0, 12)
+    harris = fast.harris_response(img_f, 0.04)
+    keep_ref = is_corner & fast._nms(
+        jnp.where(is_corner, harris, -jnp.inf), 3)
+
+    smap = pallas_fast.fast_score_map(
+        img_f, threshold=40.0, arc_length=12, harris_k=0.04, nms_radius=3)
+    keep_pal = smap > pallas_fast.NEG / 2
+
+    interior = np.zeros((128, 256), bool)
+    interior[16:-16, 16:-16] = True
+    np.testing.assert_array_equal(
+        np.asarray(keep_pal) & interior, np.asarray(keep_ref) & interior)
+    sel = np.asarray(keep_ref) & interior
+    np.testing.assert_allclose(
+        np.asarray(smap)[sel], np.asarray(harris)[sel], rtol=1e-5)

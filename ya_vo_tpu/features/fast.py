@@ -168,9 +168,20 @@ def detect(
     H, W = img.shape
     img_f = img.astype(jnp.float32)
 
-    is_corner = fast_response(img_f, float(threshold), arc_length)
-    score = harris_response(img_f, harris_k)
-    keep = is_corner & _nms(jnp.where(is_corner, score, -jnp.inf), nms_radius)
+    if jax.default_backend() == "tpu":
+        # fused one-pass VMEM kernel (ring test + Harris + NMS)
+        from ya_vo_tpu.features import pallas_fast
+
+        smap = pallas_fast.fast_score_map(
+            img_f, threshold=float(threshold), arc_length=arc_length,
+            harris_k=harris_k, nms_radius=nms_radius)
+        keep = smap > pallas_fast.NEG / 2
+        score = smap
+    else:
+        is_corner = fast_response(img_f, float(threshold), arc_length)
+        score = harris_response(img_f, harris_k)
+        keep = is_corner & _nms(
+            jnp.where(is_corner, score, -jnp.inf), nms_radius)
 
     vv, uu = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     inside = (
