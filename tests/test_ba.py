@@ -62,10 +62,15 @@ def test_converges_to_ground_truth():
             np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)))
         assert dt < 5e-3, (w, dt)
         assert ang < 0.05, (w, ang)
-    # landmarks recovered (only those actually observed)
+    # landmarks recovered (only those actually observed) — up to the
+    # monocular SCALE gauge, which is cost-neutral with one pinned pose:
+    # align the free global scale (about the gauge camera at the origin)
     obs_ids = np.unique(np.asarray(prob.obs_lm)[np.asarray(prob.obs_valid)])
-    err = np.linalg.norm(
-        np.asarray(res.landmarks)[obs_ids] - lms_gt[obs_ids], axis=-1)
+    est = np.asarray(res.landmarks)[obs_ids]
+    gt = lms_gt[obs_ids]
+    s = float(np.sum(est * gt) / np.maximum(np.sum(est * est), 1e-9))
+    err = np.linalg.norm(s * est - gt, axis=-1)
+    assert abs(s - 1.0) < 5e-3, s
     assert np.median(err) < 2e-2, np.median(err)
 
 

@@ -203,13 +203,29 @@ def solve_window(
         *_, cost, valid = _obs_terms(poses, landmarks, prob, cam, huber_delta)
         return cost, valid
 
+    def lm_cost_eval(poses, landmarks):
+        """Per-landmark robust cost [L] + total (every obs belongs to
+        exactly one landmark, so the per-landmark costs sum to the total)."""
+        r_q, _, _, _, cost_q, valid_q = _obs_terms(
+            poses, landmarks, prob, cam, huber_delta)
+        chi2q = jnp.sum(r_q * r_q, axis=-1)
+        nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
+        hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
+                       huber_delta * (nq - 0.5 * huber_delta))
+        hc = jnp.where(valid_q, hc, 0.0)
+        seg = jnp.where(prob.obs_lm.reshape(-1) >= 0,
+                        prob.obs_lm.reshape(-1), L)
+        per_lm = jax.ops.segment_sum(hc.reshape(-1), seg,
+                                     num_segments=L + 1)[:L]
+        return per_lm, cost_q
+
     cost0, valid0 = cost_of(prob.poses, prob.landmarks)
     n_obs = jnp.sum(valid0)
 
     def body(_, state):
         poses, landmarks = state
-        r, Jp, Jl, w, _, _ = _obs_terms(poses, landmarks, prob, cam,
-                                        huber_delta)
+        r, Jp, Jl, w, cost_prev, _ = _obs_terms(poses, landmarks, prob, cam,
+                                                huber_delta)
         S, b_red, Hll_inv, bl, Wpl = _reduced_system(
             r, Jp, Jl, w, prob.obs_lm, L, damping)
         S, b_red = _gauge_fix(S, b_red, n_fixed=n_fixed_poses)
@@ -237,28 +253,18 @@ def solve_window(
 
         # per-landmark acceptance: a weakly-observed landmark (e.g. one
         # observation -> rank-deficient Hll) must not poison the whole step.
-        # Evaluate each landmark's own robust cost under the new poses and
-        # keep whichever position is better.
-        def lm_costs(lms_q):
-            r_q, _, _, _, _, valid_q = _obs_terms(
-                new_poses, lms_q, prob, cam, huber_delta)
-            chi2q = jnp.sum(r_q * r_q, axis=-1)
-            nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
-            hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
-                           huber_delta * (nq - 0.5 * huber_delta))
-            hc = jnp.where(valid_q, hc, 0.0)
-            seg = jnp.where(prob.obs_lm.reshape(-1) >= 0,
-                            prob.obs_lm.reshape(-1), L)
-            return jax.ops.segment_sum(hc.reshape(-1), seg,
-                                       num_segments=L + 1)[:L]
-
-        better = lm_costs(cand_landmarks) <= lm_costs(landmarks)
+        # Two evaluations give both the per-landmark choice AND (since
+        # per-landmark costs partition the total) the exact cost of the
+        # mixed configuration — no third evaluation needed.
+        lmA, _ = lm_cost_eval(new_poses, cand_landmarks)
+        lmB, _ = lm_cost_eval(new_poses, landmarks)
+        better = lmA <= lmB
         new_landmarks = jnp.where(better[:, None], cand_landmarks, landmarks)
+        mixed_cost = jnp.sum(jnp.minimum(lmA, lmB))
 
-        # global acceptance for the pose step
-        new_cost, _ = cost_of(new_poses, new_landmarks)
-        old_cost, _ = cost_of(poses, landmarks)
-        accept = new_cost < old_cost
+        # global acceptance for the pose step (cost_prev came free with the
+        # GN linearization above)
+        accept = mixed_cost < cost_prev
         poses = jnp.where(accept, new_poses, poses)
         landmarks = jnp.where(accept, new_landmarks, landmarks)
         return poses, landmarks

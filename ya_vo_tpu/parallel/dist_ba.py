@@ -143,9 +143,20 @@ def make_dist_solver(
         """Runs per-device on a landmark shard; poses replicated."""
         W = poses.shape[0]
 
+        def lm_cost_rows(poses_q, lms_q):
+            """Per-landmark robust costs [Ls] (+ their local sum)."""
+            r_q, _, _, w_q, _ = _shard_terms(
+                poses_q, lms_q, lm_valid, obs_uv, obs_valid,
+                cam, huber_delta)
+            chi2q = jnp.sum(r_q * r_q, axis=-1)
+            nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
+            hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
+                           huber_delta * (nq - 0.5 * huber_delta))
+            return jnp.sum(jnp.where(w_q > 0, hc, 0.0), axis=1)
+
         def gn_iter(_, state):
             poses_i, lms_i = state
-            r, Jp, Jl, w, _ = _shard_terms(
+            r, Jp, Jl, w, cost_prev_local = _shard_terms(
                 poses_i, lms_i, lm_valid, obs_uv, obs_valid, cam, huber_delta)
             JpW = Jp * w[..., None, None]
             # local partials of the reduced system
@@ -200,28 +211,19 @@ def make_dist_solver(
 
             # per-landmark acceptance (local; landmark-major layout makes
             # the per-landmark cost a plain sum over the W axis): weakly-
-            # observed landmarks must not poison the whole step
-            def lm_cost(lms_q):
-                r_q, _, _, w_q, _ = _shard_terms(
-                    new_poses, lms_q, lm_valid, obs_uv, obs_valid,
-                    cam, huber_delta)
-                chi2q = jnp.sum(r_q * r_q, axis=-1)
-                nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
-                hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
-                               huber_delta * (nq - 0.5 * huber_delta))
-                return jnp.sum(jnp.where(w_q > 0, hc, 0.0), axis=1)  # [Ls]
-
-            better = lm_cost(cand_lms) <= lm_cost(lms_i)
+            # observed landmarks must not poison the whole step. The two
+            # evaluations also yield the exact mixed-configuration cost
+            # (per-landmark costs partition the total).
+            lmA = lm_cost_rows(new_poses, cand_lms)
+            lmB = lm_cost_rows(new_poses, lms_i)
+            better = lmA <= lmB
             new_lms = jnp.where(better[:, None], cand_lms, lms_i)
+            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)), axis)
 
             # accept-if-better on the GLOBAL cost for the pose step
-            def global_cost(p, l):
-                *_, c = _shard_terms(p, l, lm_valid, obs_uv, obs_valid,
-                                     cam, huber_delta)
-                return jax.lax.psum(c, axis)
-
-            accept = global_cost(new_poses, new_lms) < \
-                global_cost(poses_i, lms_i)
+            # (cost_prev came free with the linearization)
+            cost_prev = jax.lax.psum(cost_prev_local, axis)
+            accept = mixed_cost < cost_prev
             poses_i = jnp.where(accept, new_poses, poses_i)
             lms_i = jnp.where(accept, new_lms, lms_i)
             return poses_i, lms_i
