@@ -32,9 +32,13 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="load state npz")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save every N frames (requires --checkpoint)")
+    ap.add_argument("--refine", action="store_true",
+                    help="offline full-map BA refinement before reporting")
     ap.add_argument("--synthetic", action="store_true",
                     help="run the built-in synthetic sequence")
     ap.add_argument("--synthetic-frames", type=int, default=30)
+    ap.add_argument("--synthetic-size", type=int, nargs=2, default=[376, 1241],
+                    metavar=("H", "W"))
     args = ap.parse_args(argv)
 
     import jax
@@ -55,10 +59,11 @@ def main(argv=None):
     if args.synthetic:
         from ya_vo_tpu.utils import synthetic
 
-        H, W = 376, 1241
+        H, W = args.synthetic_size
         imgs, poses_gt, lms, cam = synthetic.render_sequence(
-            n_frames=args.synthetic_frames, n_landmarks=1200,
-            height=H, width=W, step=0.5, yaw_rate=0.002, seed=11)
+            n_frames=args.synthetic_frames,
+            n_landmarks=max(200, (H * W) // 400),
+            height=H, width=W, step=0.4, yaw_rate=0.002, seed=11)
         gt_cw = np.linalg.inv(poses_gt)
         cfg = VOConfig(
             image_height=H, image_width=W,
@@ -107,6 +112,10 @@ def main(argv=None):
 
     dt = time.perf_counter() - t0
     traj = np.stack(fe.trajectory)
+    if args.refine:
+        from ya_vo_tpu.ba.global_refine import global_refine
+
+        traj = global_refine(fe)
 
     summary = {
         "frames": int(len(traj)),

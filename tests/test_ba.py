@@ -113,3 +113,28 @@ def test_masked_everything_safe():
     assert np.all(np.isfinite(np.asarray(res.poses)))
     assert np.all(np.isfinite(np.asarray(res.landmarks)))
     assert int(res.n_obs) == 0
+
+
+def test_global_refine_improves_or_preserves(tmp_path):
+    """Offline full-map BA on a tracked synthetic sequence must not degrade
+    the trajectory (and typically improves it)."""
+    from ya_vo_tpu.ba.global_refine import global_refine
+    from ya_vo_tpu.tracking.frontend import Frontend
+    from ya_vo_tpu.utils import synthetic
+    from ya_vo_tpu.viz import evaluation
+    from tests.test_frontend_e2e import make_config
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=12, n_landmarks=500, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7)
+    fe = Frontend(make_config(), cam)
+    traj = fe.run(imgs)
+    gt = np.linalg.inv(poses_gt)
+    ate_online = evaluation.ate_rmse(traj, gt)
+
+    refined = global_refine(fe, passes=2)
+    ate_refined = evaluation.ate_rmse(refined, gt)
+    assert refined.shape == traj.shape
+    assert np.all(np.isfinite(refined))
+    assert ate_refined < max(0.06, 1.2 * ate_online), (
+        ate_refined, ate_online)

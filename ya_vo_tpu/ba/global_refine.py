@@ -1,0 +1,123 @@
+"""Offline global refinement: full-map bundle adjustment sweeps.
+
+The reference's README lists "Add online full BA" as an open to-do
+(reference: README.md:7; `Optimizer::partialBA` is dead code,
+src/Optimizer.cc:48-70). This module finishes the job as an offline
+post-pass: overlapping windowed Schur-GN sweeps over ALL keyframes (each
+window pinned to its first two poses so refinements chain consistently),
+then the per-frame trajectory is re-expressed against the refined keyframes
+(each frame keeps its original motion relative to the latest keyframe at or
+before it).
+
+Usage:
+    refined_traj = global_refine(frontend)       # after a sequence run
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def _solve_window_span(fe, k0: int, k1: int, iters: int) -> None:
+    """Refine keyframes [k0, k1) in place (map arrays updated)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ya_vo_tpu.ba import window as ba_window
+
+    m = fe.map
+    bc = fe.cfg.ba
+    W = fe.cfg.map.window_size
+    n_real = k1 - k0
+    O = m.kf_obs_uv.shape[1]
+
+    poses_p = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+    poses_p[:n_real] = m.kf_pose[k0:k1]
+    uv_p = np.zeros((W, O, 2), np.float32)
+    uv_p[:n_real] = m.kf_obs_uv[k0:k1]
+    lm_p = np.full((W, O), -1, np.int32)
+    lm_p[:n_real] = m.kf_obs_lm[k0:k1]
+    ok_p = np.zeros((W, O), bool)
+    ok_p[:n_real] = m.kf_obs_valid[k0:k1]
+    pv = np.zeros(W, bool)
+    pv[:n_real] = True
+
+    L_cap = bc.max_window_landmarks
+    used = np.unique(lm_p[ok_p & (lm_p >= 0)])
+    used = used[m.landmark_alive[used]][:L_cap]
+    if len(used) < 8:
+        return
+    remap = np.full(m.max_landmarks, -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    lm_compact = np.where(lm_p >= 0, remap[np.maximum(lm_p, 0)], -1)
+    ok_p = ok_p & (lm_compact >= 0)
+    lms_local = np.zeros((L_cap, 3), np.float32)
+    lms_local[: len(used)] = m.landmark_pos[used]
+    lm_valid = np.zeros(L_cap, bool)
+    lm_valid[: len(used)] = True
+
+    prob = ba_window.BAProblem(
+        poses=jnp.asarray(poses_p),
+        pose_valid=jnp.asarray(pv),
+        landmarks=jnp.asarray(lms_local),
+        lm_valid=jnp.asarray(lm_valid),
+        obs_uv=jnp.asarray(uv_p),
+        obs_lm=jnp.asarray(lm_compact),
+        obs_valid=jnp.asarray(ok_p),
+    )
+    res = ba_window.solve_window(
+        prob, fe.cam, iters=iters, huber_delta=bc.huber_delta,
+        damping=bc.damping, n_fixed_poses=min(2, n_real))
+    new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
+    new_poses = new_poses[:n_real]
+    if not (np.all(np.isfinite(new_poses)) and np.all(np.isfinite(new_lms))):
+        return
+    m.kf_pose[k0:k1] = new_poses
+    m.landmark_pos[used] = new_lms[: len(used)]
+
+
+def global_refine(fe, passes: int = 2, iters: Optional[int] = None
+                  ) -> np.ndarray:
+    """Run full-map BA sweeps, then return the refined trajectory [F, 4, 4].
+
+    The frontend's recorded (online) trajectory is re-anchored: each frame's
+    pose keeps its original motion relative to the most recent keyframe at
+    or before it, while that keyframe moves to its refined pose.
+    """
+    m = fe.map
+    iters = iters or fe.cfg.ba.iters
+    W = fe.cfg.map.window_size
+    n_kf = m.n_keyframes
+    traj = np.stack(fe.trajectory) if fe.trajectory else np.zeros((0, 4, 4))
+    if n_kf < 2 or len(traj) == 0:
+        return traj
+
+    kf_before = m.kf_pose[:n_kf].copy()
+
+    stride = max(1, W // 2)
+    for _ in range(passes):
+        k0 = 0
+        while k0 < n_kf - 1:
+            k1 = min(k0 + W, n_kf)
+            _solve_window_span(fe, k0, k1, iters)
+            if k1 == n_kf:
+                break
+            k0 += stride
+
+    kf_after = m.kf_pose[:n_kf].copy()
+
+    # re-anchor every frame against its governing keyframe
+    kf_fids = m.kf_frame_id[:n_kf]
+    refined = traj.copy()
+    order = np.argsort(kf_fids)
+    fids_sorted = kf_fids[order]
+    for f in range(len(traj)):
+        idx = np.searchsorted(fids_sorted, f, side="right") - 1
+        if idx < 0:
+            continue
+        k = order[idx]
+        corr = np.linalg.inv(kf_before[k]) @ kf_after[k]
+        refined[f] = traj[f] @ corr
+    return refined
