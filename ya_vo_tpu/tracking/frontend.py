@@ -223,15 +223,8 @@ class Frontend:
             near = jnp.any((d2 < 144.0) & track_valid[None, :], axis=1)
             ok = ok & ~near
 
-            from ya_vo_tpu.geometry.triangulation import (
-                reprojection_errors, triangulate)
+            from ya_vo_tpu.geometry.triangulation import triangulate
             pts_w, valid = triangulate(P1, P2, uv1, uv2, ok)
-            # keep only landmarks that reproject tightly into BOTH views
-            # (kills mismatches and near-degenerate baselines before they
-            # enter the map)
-            e1 = reprojection_errors(P1, pts_w, uv1)
-            e2 = reprojection_errors(P2, pts_w, uv2)
-            valid = valid & (e1 < 2.0) & (e2 < 2.0)
             n_matches = jnp.sum(m.mask.astype(jnp.int32))
             return uv1, uv2, pts_w, valid, n_matches
 
