@@ -135,3 +135,15 @@ def test_package_api():
     fe = ya_vo_tpu.create_frontend()
     assert fe.cfg.features.fast_threshold == 40
     assert ya_vo_tpu.VOConfig().sequence == "00"
+
+
+def test_reference_config_files_load():
+    """Both reference-repo config JSONs load directly, including the one
+    with a // comment that jsoncpp tolerated (SURVEY.md §2.2)."""
+    from ya_vo_tpu.config import VOConfig
+
+    cfg = VOConfig.from_json("/root/reference/config/KITTI.json")
+    assert cfg.sequence == "15" and cfg.camera_type == "mono"
+    cfg2 = VOConfig.from_json("/root/reference/config/KITTI_mock_test.json")
+    assert cfg2.sequence == "00"
+    assert cfg2.base_path.endswith("dataset/sequences/")

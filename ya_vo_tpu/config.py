@@ -74,6 +74,8 @@ class TrackConfig:
     min_flow_inliers: int = 2
     min_ba_inliers: int = 100
     keyframe_min_inlier_ratio: float = 0.5
+    min_keyframe_gap: int = 1          # frames between keyframes unless
+                                       # tracking is close to the failure gate
 
 
 @dataclass(frozen=True)
@@ -117,10 +119,16 @@ class VOConfig:
     @staticmethod
     def from_json(path: str) -> "VOConfig":
         """Load a config JSON. Accepts both this framework's full schema and
-        the reference's 3-key schema (basePath/sequence/cameraType)."""
+        the reference's 3-key schema (basePath/sequence/cameraType), and
+        tolerates // line comments (the reference's jsoncpp accepted them —
+        its own KITTI_mock_test.json contains one, SURVEY.md §2.2)."""
+        import re
+
         with open(path) as f:
-            raw = json.load(f)
-        return VOConfig.from_dict(raw)
+            text = f.read()
+        # strip whitespace-preceded // comments (not "://" inside URLs)
+        text = re.sub(r"(?m)(^|\s)//.*$", r"\1", text)
+        return VOConfig.from_dict(json.loads(text))
 
     @staticmethod
     def from_dict(raw: dict) -> "VOConfig":

@@ -117,10 +117,19 @@ class Frontend:
         # per-frame tracking error does not random-walk
         self.track_anchor_uv = np.zeros((K_cap, 2), np.float32)
 
+        # device-resident tracking state (see _push_state_to_device)
+        self._d_anchor_uv = jnp.zeros((K_cap, 2), jnp.float32)
+        self._d_track_uv = jnp.zeros((K_cap, 2), jnp.float32)
+        self._d_track_valid = jnp.zeros(K_cap, bool)
+        self._d_lm_pos = jnp.zeros((K_cap, 3), jnp.float32)
+        self._d_pose = jnp.eye(4, dtype=jnp.float32)
+        self._d_rel = jnp.eye(4, dtype=jnp.float32)
+
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
         self._replenish_step = self._build_replenish_step()
         self._kf_since_ba = 0
+        self._frames_since_kf = 0
         # backend thread state
         import concurrent.futures
         self._ba_executor = concurrent.futures.ThreadPoolExecutor(
@@ -163,7 +172,13 @@ class Frontend:
         cam = self.cam
 
         @jax.jit
-        def step(img_prev, img_curr, track_uv, track_mask, lm_pos, T_prior):
+        def step(img_prev, img_curr, anchor_uv, track_mask, lm_pos,
+                 pose, rel):
+            # state-in/state-out: all tracking state stays on device; the
+            # host reads back two gate scalars + the 4x4 pose per frame
+            # (every blocking transfer through the tunnel costs ~30 ms)
+            T_prior = rel @ pose
+
             kp = fast.detect(
                 img_curr,
                 max_keypoints=fc.max_keypoints,
@@ -180,10 +195,10 @@ class Frontend:
             pc = lie.transform_points(T_prior, lm_pos)
             seed, z = cam.project(pc)
             use = track_mask & (z > 0.25)
-            seed = jnp.where(use[:, None], seed, track_uv)
+            seed = jnp.where(use[:, None], seed, anchor_uv)
 
             flow = lk.auto_track(
-                img_prev, img_curr, track_uv, seed, use,
+                img_prev, img_curr, anchor_uv, seed, use,
                 levels=tc.lk_levels, half=tc.lk_window // 2,
                 iters=tc.lk_iters, eps=tc.lk_eps,
                 max_residual=tc.lk_max_residual,
@@ -196,8 +211,12 @@ class Frontend:
                 huber_delta=tc.huber_delta,
                 chi2_threshold=tc.chi2_threshold,
             )
-            return (kp, desc, flow.uv, flow.status, solve.pose,
-                    solve.inlier_mask, n_flow, solve.n_inliers)
+            keep = flow.status & solve.inlier_mask
+            new_track_uv = jnp.where(keep[:, None], flow.uv, anchor_uv)
+            new_rel = solve.pose @ jnp.linalg.inv(pose)
+            return (kp, desc, flow.uv, flow.status, solve.inlier_mask,
+                    keep, new_track_uv, solve.pose, new_rel,
+                    n_flow, solve.n_inliers)
 
         return step
 
@@ -230,6 +249,28 @@ class Frontend:
 
         return step
 
+    def _push_state_to_device(self) -> None:
+        """Refresh the device-resident tracking state from the host mirrors
+        (called whenever host bookkeeping touched them: bootstrap, keyframe
+        replenishment, BA apply, checkpoint restore)."""
+        alive = self.track_valid & (self.track_lm >= 0) & \
+            self.map.landmark_alive[np.maximum(self.track_lm, 0)]
+        self.track_valid = alive
+        self._d_anchor_uv = jnp.asarray(self.track_anchor_uv)
+        self._d_track_valid = jnp.asarray(alive)
+        self._d_lm_pos = jnp.asarray(
+            self.map.landmark_pos[np.maximum(self.track_lm, 0)])
+        self._d_pose = jnp.asarray(self.last_pose)
+        self._d_rel = jnp.asarray(self.rel_motion)
+
+    def sync_host_state(self) -> None:
+        """Pull the device-resident track table into the host mirrors
+        (needed before checkpointing mid-segment — between keyframes the
+        host copies are intentionally stale)."""
+        if self._d_track_uv is not None:
+            self.track_uv = np.array(self._d_track_uv)
+            self.track_valid = np.array(self._d_track_valid)
+
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
         return k
@@ -254,6 +295,8 @@ class Frontend:
         if res.is_keyframe:
             self._kf_img = img_dev
             self.track_anchor_uv = self.track_uv.copy()
+        if res.is_keyframe or res.reset:
+            self._push_state_to_device()
         self.last_img = img_dev
         self.last_kp = kp
         self.last_desc = desc
@@ -354,32 +397,20 @@ class Frontend:
         tc = self.cfg.tracking
         t0 = time.perf_counter()
 
-        # constant-velocity prior (reference LoopHandler.cc:138-140)
-        T_prior = (self.rel_motion @ self.last_pose).astype(np.float32)
-        lm_pos = self.map.landmark_pos[np.maximum(self.track_lm, 0)]
-        alive = self.track_valid & (self.track_lm >= 0) & \
-            self.map.landmark_alive[np.maximum(self.track_lm, 0)]
+        # template anchoring: track from the last KEYFRAME image when
+        # available (no frame-to-frame drift accumulation)
+        src_img = self._kf_img if self._kf_img is not None else self.last_img
 
-        # template anchoring: track from the last KEYFRAME image/positions
-        # when available (no frame-to-frame drift accumulation)
-        if self._kf_img is not None:
-            src_img = self._kf_img
-            src_uv = self.track_anchor_uv
-        else:
-            src_img = self.last_img
-            src_uv = self.track_uv
-
-        # ONE device dispatch: extract + project-seeded LK + pose-GN
-        # (reference does these as separate stages across two threads,
-        # SURVEY.md §3.2/§3.4)
-        (kp, desc, flow_uv_d, flow_ok_d, pose_d, inl_d, n_flow_d,
-         n_ba_d) = self._track_step(
-            src_img, img,
-            jnp.asarray(src_uv), jnp.asarray(alive),
-            jnp.asarray(lm_pos), jnp.asarray(T_prior),
+        # ONE device dispatch over DEVICE-RESIDENT state: extract +
+        # constant-velocity prior + project-seeded LK + pose-GN (reference
+        # runs these as separate stages across two threads, SURVEY.md
+        # §3.2/§3.4). The host reads back two scalars + the pose.
+        (kp, desc, flow_uv_d, flow_ok_d, inl_d, keep_d, new_uv_d,
+         pose_d, rel_d, n_flow_d, n_ba_d) = self._track_step(
+            src_img, img, self._d_anchor_uv, self._d_track_valid,
+            self._d_lm_pos, self._d_pose, self._d_rel,
         )
-        # host FSM gates read two scalars
-        n_flow, n_ba = jax.device_get((n_flow_d, n_ba_d))
+        n_flow, n_ba, T_new = jax.device_get((n_flow_d, n_ba_d, pose_d))
         n_flow, n_ba = int(n_flow), int(n_ba)
         t_step = (time.perf_counter() - t0) * 1e3
 
@@ -390,24 +421,16 @@ class Frontend:
             return kp, desc, self._reset(kp, desc, n_matches=0,
                                          n_flow=n_flow, n_ba=n_ba)
 
-        flow_uv, flow_ok, T_new, inl = jax.device_get(
-            (flow_uv_d, flow_ok_d, pose_d, inl_d))
-
-        # demote landmarks that were confidently tracked but rejected by the
-        # pose solve (reference clears outlier features' map points,
-        # LoopHandler.cc:850-855)
-        outlier_lms = self.track_lm[flow_ok & ~inl]
-        self.map.kill_landmarks(outlier_lms)
-
-        # update track table to the current frame
-        keep = flow_ok & inl
-        self.track_uv = np.where(keep[:, None], flow_uv, self.track_uv)
-        self.track_valid = keep
-        # (track_lm unchanged: same landmark follows its feature)
-
-        self.rel_motion = (T_new @ np.linalg.inv(self.last_pose)).astype(
-            np.float32)
-        self.last_pose = T_new.astype(np.float32)
+        # commit the device-side state; host mirrors of the track table are
+        # refreshed only on keyframes (transfers are the per-frame cost)
+        self._d_track_uv = new_uv_d
+        self._d_track_valid = keep_d
+        self._d_pose = pose_d
+        self._d_rel = rel_d
+        prev_pose = self.last_pose
+        self.last_pose = np.asarray(T_new, np.float32)
+        self.rel_motion = (
+            self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
 
         # keyframe policy: replenish when the tracked-inlier count decays
         # below a fraction of its level at the last keyframe (or an absolute
@@ -416,11 +439,27 @@ class Frontend:
         # insertKeyFrame on every addFrame); a decay-based policy keeps
         # triangulation baselines wide and the backend off the hot path.
         n_new, is_kf = 0, False
-        if n_ba < max(tc.min_ba_inliers * 2,
-                      int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers)):
+        self._frames_since_kf += 1
+        want_kf = n_ba < max(
+            tc.min_ba_inliers * 2,
+            int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers))
+        urgent = n_ba < tc.min_ba_inliers * 2
+        if want_kf and (urgent
+                        or self._frames_since_kf >= tc.min_keyframe_gap):
+            # keyframe path: pull tracking results ONCE for host bookkeeping
+            flow_uv, flow_ok, inl, keep = jax.device_get(
+                (flow_uv_d, flow_ok_d, inl_d, keep_d))
+            # demote landmarks that were confidently tracked but rejected
+            # by the pose solve (reference clears outlier features' map
+            # points, LoopHandler.cc:850-855)
+            self.map.kill_landmarks(self.track_lm[flow_ok & ~inl])
+            self.track_uv = np.where(keep[:, None], flow_uv, self.track_uv)
+            self.track_valid = np.array(keep)  # device_get arrays are RO
+
             n_new = self._replenish(img, kp, desc)
             is_kf = n_new > 0
             if is_kf:
+                self._frames_since_kf = 0
                 self._kf_ref_inliers = n_ba + n_new
                 self._run_window_ba()
 
@@ -669,8 +708,23 @@ class Frontend:
     # ------------------------------------------------------------------ #
     def run(self, frames) -> np.ndarray:
         """Drive a whole sequence; returns [F, 4, 4] world->camera poses
-        (reference runVO, src/LoopHandler.cc:517-530)."""
-        for img in frames:
-            self.process(img)
+        (reference runVO, src/LoopHandler.cc:517-530).
+
+        The NEXT frame's host->device upload is issued before processing the
+        current one (device_put is async), so the transfer rides under the
+        current frame's compute — the device-side half of the reference's
+        missing ingest/compute overlap (its getNextFrame blocks the VO
+        thread on imread, src/LoopHandler.cc:917-927).
+        """
+        it = iter(frames)
+        try:
+            pending = jax.device_put(jnp.asarray(next(it)))
+        except StopIteration:
+            return np.zeros((0, 4, 4), np.float32)
+        while pending is not None:
+            current = pending
+            nxt = next(it, None)
+            pending = jax.device_put(jnp.asarray(nxt)) if nxt is not None                 else None
+            self.process(current)
         self.finish()
         return np.stack(self.trajectory)

@@ -13,6 +13,8 @@ import numpy as np
 
 
 def save_frontend(fe, path: str) -> None:
+    if hasattr(fe, "sync_host_state"):
+        fe.sync_host_state()  # device-resident track table -> host mirrors
     m = fe.map
     np.savez_compressed(
         path,
@@ -38,6 +40,21 @@ def save_frontend(fe, path: str) -> None:
         # last-frame context so LK/matching continue seamlessly on resume
         last_img=np.asarray(fe.last_img) if fe.last_img is not None
         else np.zeros((0, 0), np.uint8),
+        # keyframe/anchor context (template-anchored tracking + wide-baseline
+        # replenishment + keyframe policy state)
+        track_anchor_uv=fe.track_anchor_uv,
+        kf_ref_inliers=np.int32(fe._kf_ref_inliers),
+        anchor_kf_pose=fe._kf_pose,
+        anchor_kf_img=np.asarray(fe._kf_img) if fe._kf_img is not None
+        else np.zeros((0, 0), np.uint8),
+        anchor_kf_kp_uv=np.asarray(fe._kf_kp.uv) if fe._kf_kp is not None
+        else np.zeros((0, 2), np.float32),
+        anchor_kf_kp_score=np.asarray(fe._kf_kp.score)
+        if fe._kf_kp is not None else np.zeros((0,), np.float32),
+        anchor_kf_kp_mask=np.asarray(fe._kf_kp.mask)
+        if fe._kf_kp is not None else np.zeros((0,), bool),
+        anchor_kf_desc=np.asarray(fe._kf_desc) if fe._kf_desc is not None
+        else np.zeros((0, 8), np.uint32),
         last_kp_uv=np.asarray(fe.last_kp.uv) if fe.last_kp is not None
         else np.zeros((0, 2), np.float32),
         last_kp_score=np.asarray(fe.last_kp.score) if fe.last_kp is not None
@@ -93,3 +110,27 @@ def load_frontend(fe, path: str) -> None:
             mask=jnp.asarray(z["last_kp_mask"]),
         )
         fe.last_desc = jnp.asarray(z["last_desc"])
+
+    # keyframe/anchor context (absent in old checkpoints -> safe fallbacks)
+    if "track_anchor_uv" in z:
+        import jax.numpy as jnp
+        from ya_vo_tpu.features.fast import Keypoints
+
+        fe.track_anchor_uv = z["track_anchor_uv"].copy()
+        fe._kf_ref_inliers = int(z["kf_ref_inliers"])
+        fe._kf_pose = z["anchor_kf_pose"].astype(np.float32)
+        if z["anchor_kf_img"].size:
+            fe._kf_img = jnp.asarray(z["anchor_kf_img"])
+        if z["anchor_kf_desc"].size:
+            fe._kf_kp = Keypoints(
+                uv=jnp.asarray(z["anchor_kf_kp_uv"]),
+                score=jnp.asarray(z["anchor_kf_kp_score"]),
+                mask=jnp.asarray(z["anchor_kf_kp_mask"]),
+            )
+            fe._kf_desc = jnp.asarray(z["anchor_kf_desc"])
+    else:
+        fe.track_anchor_uv = fe.track_uv.copy()
+
+    # rebuild the device-resident tracking state from the restored mirrors
+    if hasattr(fe, "_push_state_to_device"):
+        fe._push_state_to_device()
