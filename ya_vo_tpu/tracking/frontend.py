@@ -124,6 +124,10 @@ class Frontend:
         self._d_lm_pos = jnp.zeros((K_cap, 3), jnp.float32)
         self._d_pose = jnp.eye(4, dtype=jnp.float32)
         self._d_rel = jnp.eye(4, dtype=jnp.float32)
+        self._d_kf_desc = jnp.zeros((K_cap, 8), jnp.uint32)
+        self._d_kf_uv = jnp.zeros((K_cap, 2), jnp.float32)
+        self._d_kf_mask = jnp.zeros(K_cap, bool)
+        self._d_kf_pose = jnp.eye(4, dtype=jnp.float32)
 
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
@@ -171,9 +175,12 @@ class Frontend:
         offsets = self._offsets
         cam = self.cam
 
+        mc = self.cfg.matching
+        K = self.K
+
         @jax.jit
         def step(img_prev, img_curr, anchor_uv, track_mask, lm_pos,
-                 pose, rel):
+                 pose, rel, kf_desc, kf_uv, kf_mask, kf_pose):
             # state-in/state-out: all tracking state stays on device; the
             # host reads back two gate scalars + the 4x4 pose per frame
             # (every blocking transfer through the tunnel costs ~30 ms)
@@ -214,9 +221,31 @@ class Frontend:
             keep = flow.status & solve.inlier_mask
             new_track_uv = jnp.where(keep[:, None], flow.uv, anchor_uv)
             new_rel = solve.pose @ jnp.linalg.inv(pose)
+
+            # speculative replenishment: match the anchor keyframe's
+            # descriptors against this frame and triangulate with the
+            # solved pose — computed every frame (a few ms of MXU work) so
+            # a keyframe decision costs ZERO extra dispatches
+            m = matching.match(
+                kf_desc, desc, kf_mask, kp.mask,
+                abs_threshold=mc.abs_threshold, cross_check=mc.cross_check)
+            r_uv1 = kf_uv
+            r_uv2 = kp.uv[m.idx2]
+            ok = m.mask
+            d2 = jnp.sum(
+                (r_uv2[:, None, :] - new_track_uv[None, :, :]) ** 2, axis=-1)
+            near = jnp.any((d2 < 144.0) & keep[None, :], axis=1)
+            ok = ok & ~near
+            from ya_vo_tpu.geometry.triangulation import triangulate
+            P1 = K @ kf_pose[:3, :4]
+            P2 = K @ solve.pose[:3, :4]
+            r_pts, r_valid = triangulate(P1, P2, r_uv1, r_uv2, ok)
+            n_matches = jnp.sum(m.mask.astype(jnp.int32))
+
             return (kp, desc, flow.uv, flow.status, solve.inlier_mask,
                     keep, new_track_uv, solve.pose, new_rel,
-                    n_flow, solve.n_inliers)
+                    n_flow, solve.n_inliers,
+                    r_uv1, r_uv2, r_pts, r_valid, n_matches)
 
         return step
 
@@ -262,6 +291,11 @@ class Frontend:
             self.map.landmark_pos[np.maximum(self.track_lm, 0)])
         self._d_pose = jnp.asarray(self.last_pose)
         self._d_rel = jnp.asarray(self.rel_motion)
+        if self._kf_desc is not None:
+            self._d_kf_desc = self._kf_desc
+            self._d_kf_uv = self._kf_kp.uv
+            self._d_kf_mask = self._kf_kp.mask
+            self._d_kf_pose = jnp.asarray(self._kf_pose)
 
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
@@ -406,9 +440,12 @@ class Frontend:
         # runs these as separate stages across two threads, SURVEY.md
         # §3.2/§3.4). The host reads back two scalars + the pose.
         (kp, desc, flow_uv_d, flow_ok_d, inl_d, keep_d, new_uv_d,
-         pose_d, rel_d, n_flow_d, n_ba_d) = self._track_step(
+         pose_d, rel_d, n_flow_d, n_ba_d,
+         r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d) = self._track_step(
             src_img, img, self._d_anchor_uv, self._d_track_valid,
             self._d_lm_pos, self._d_pose, self._d_rel,
+            self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
+            self._d_kf_pose,
         )
         n_flow, n_ba, T_new = jax.device_get((n_flow_d, n_ba_d, pose_d))
         n_flow, n_ba = int(n_flow), int(n_ba)
@@ -446,9 +483,12 @@ class Frontend:
         urgent = n_ba < tc.min_ba_inliers * 2
         if want_kf and (urgent
                         or self._frames_since_kf >= tc.min_keyframe_gap):
-            # keyframe path: pull tracking results ONCE for host bookkeeping
-            flow_uv, flow_ok, inl, keep = jax.device_get(
-                (flow_uv_d, flow_ok_d, inl_d, keep_d))
+            # keyframe path: pull tracking + speculative-replenish results
+            # in ONE transfer for host bookkeeping
+            (flow_uv, flow_ok, inl, keep, r_uv1, r_uv2, r_pts, r_valid,
+             n_match) = jax.device_get(
+                (flow_uv_d, flow_ok_d, inl_d, keep_d,
+                 r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d))
             # demote landmarks that were confidently tracked but rejected
             # by the pose solve (reference clears outlier features' map
             # points, LoopHandler.cc:850-855)
@@ -456,7 +496,8 @@ class Frontend:
             self.track_uv = np.where(keep[:, None], flow_uv, self.track_uv)
             self.track_valid = np.array(keep)  # device_get arrays are RO
 
-            n_new = self._replenish(img, kp, desc)
+            n_new = self._replenish_apply(
+                kp, desc, r_uv1, r_uv2, r_pts, r_valid, int(n_match))
             is_kf = n_new > 0
             if is_kf:
                 self._frames_since_kf = 0
@@ -472,14 +513,12 @@ class Frontend:
 
     # ------------------------------------------------------------------ #
     def _replenish(self, img, kp, desc) -> int:
-        """Create new landmarks by descriptor-matching the previous frame to
-        the current one and triangulating with the SOLVED poses (the
+        """Create new landmarks by descriptor-matching the anchor keyframe
+        to the current frame and triangulating with the SOLVED poses (the
         correctly-scaled analog of reference triangulate2View(first=false),
-        LoopHandler.cc:658-726)."""
+        LoopHandler.cc:658-726). Standalone-dispatch variant used by paths
+        without speculative results (e.g. right after a bootstrap)."""
         K = np.asarray(self.cam.K)
-        # triangulate against the last KEYFRAME for a wide baseline
-        # (consecutive-frame baselines make depth noise explode); fall back
-        # to the previous frame when no keyframe context exists
         if self._kf_desc is not None:
             ref_desc, ref_kp = self._kf_desc, self._kf_kp
             T_ref = self._kf_pose
@@ -489,7 +528,6 @@ class Frontend:
         P1 = (K @ T_ref[:3, :4]).astype(np.float32)
         P2 = (K @ self.last_pose[:3, :4]).astype(np.float32)
 
-        # single fused dispatch: match + suppress-near-tracked + triangulate
         out = self._replenish_step(
             ref_desc, desc, ref_kp.mask, kp.mask,
             ref_kp.uv, kp.uv,
@@ -497,7 +535,15 @@ class Frontend:
             jnp.asarray(P1), jnp.asarray(P2),
         )
         uv1, uv2, pts_w, valid, n_matches = jax.device_get(out)
-        if int(n_matches) < 8 or valid.sum() < 4:
+        return self._replenish_apply(kp, desc, uv1, uv2, pts_w, valid,
+                                     int(n_matches))
+
+    def _replenish_apply(self, kp, desc, uv1, uv2, pts_w, valid,
+                         n_matches) -> int:
+        """Host bookkeeping for replenishment results (from the fused
+        speculative path or the standalone dispatch): create landmarks,
+        extend the track table, insert the keyframe, refresh kf context."""
+        if n_matches < 8 or valid.sum() < 4:
             return 0
 
         lm_idx = self.map.add_landmarks(pts_w, valid)
@@ -512,9 +558,9 @@ class Frontend:
         n_add = min(len(free), len(src))
         if n_add:
             f = free[:n_add]
-            s = src[:n_add]
-            self.track_uv[f] = uv2[s]
-            self.track_lm[f] = lm_idx[s]
+            sl = src[:n_add]
+            self.track_uv[f] = uv2[sl]
+            self.track_lm[f] = lm_idx[sl]
             self.track_valid[f] = True
 
         self.map.insert_keyframe(
