@@ -106,3 +106,21 @@ def test_ba_disabled_still_works(sequence):
     assert fe.n_ba_runs == 0
     ate = evaluation.ate_rmse(traj, poses_cam_to_world(poses_wc_gt))
     assert ate < 0.08, ate
+
+
+def test_reset_recovery_on_blackout(sequence):
+    """Blank frames mid-sequence must trip the failure gates (reference
+    LoopHandler.cc:144/:151) and the FSM must re-initialize and resume
+    TRACKING afterwards — the reference's reinitialize() semantics."""
+    imgs, poses_wc_gt, lms, cam = sequence
+    corrupted = list(imgs[:6]) \
+        + [np.zeros_like(imgs[0])] * 2 \
+        + list(imgs[6:])
+    fe = Frontend(make_config(), cam)
+    fe.run(corrupted)
+    assert fe.n_resets >= 1
+    statuses = [r.status for r in fe.results]
+    assert "RESET" in statuses or "INIT" in statuses[6:]
+    # recovered: the tail of the sequence tracks again
+    assert statuses[-1] == "TRACKING", statuses[-4:]
+    assert fe.results[-1].n_ba_inliers >= 15

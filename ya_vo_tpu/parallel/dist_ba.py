@@ -23,13 +23,12 @@ Poses are replicated; landmarks never leave their device.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ya_vo_tpu.core import lie
 from ya_vo_tpu.core.camera import Camera

@@ -10,7 +10,7 @@ Tests exercise it on a virtual 8-device CPU mesh
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -28,7 +28,6 @@ else RESET -> reinitialize.
 from __future__ import annotations
 
 import enum
-import functools
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional

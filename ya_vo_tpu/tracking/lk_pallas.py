@@ -25,7 +25,6 @@ selected automatically on TPU backends (see lk.auto_track).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ module replaces that with fully reproducible synthetic data:
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

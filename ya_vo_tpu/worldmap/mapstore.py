@@ -18,7 +18,6 @@ The active/passive split the reference scaffolds but never uses
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
