@@ -40,7 +40,7 @@ def main():
     n_frames = 40
     imgs, poses_gt, lms, cam = synthetic.render_sequence(
         n_frames=n_frames, n_landmarks=1200, height=H, width=W,
-        step=0.5, yaw_rate=0.002, seed=11,
+        step=0.5, yaw_rate=0.002, seed=11, corridor=True,
     )
 
     cfg = VOConfig(

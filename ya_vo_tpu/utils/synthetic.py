@@ -176,11 +176,20 @@ def render_sequence(
     n_frames: int = 8, n_landmarks: int = 400,
     height: int = 376, width: int = 1241,
     step: float = 0.6, yaw_rate: float = 0.0, seed: int = 0,
+    corridor: bool = False,
 ):
     """Full synthetic sequence: (images [F] list of uint8 [H, W],
-    poses_wc [F, 4, 4], landmarks [N, 3], cam)."""
+    poses_wc [F, 4, 4], landmarks [N, 3], cam).
+
+    With `corridor` (default), landmarks are distributed along the whole
+    travel path (z up to travel + 60 m) so fresh features keep entering the
+    field of view as old ones pass behind the camera — feature lifetimes
+    then resemble a real driving sequence instead of a fixed point cloud
+    the camera drives out of.
+    """
     cam = kitti_camera()
-    lms = random_landmarks(n_landmarks, seed=seed)
+    z_far = 60.0 + (step * n_frames if corridor else 0.0)
+    lms = random_landmarks(n_landmarks, seed=seed, z_range=(6.0, z_far))
     poses = forward_trajectory(n_frames, step=step, yaw_rate=yaw_rate)
     imgs = [
         render_scene(lms, poses[f], cam, height, width, seed=seed + 11)
