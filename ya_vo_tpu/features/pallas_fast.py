@@ -156,7 +156,7 @@ def fast_score_map(
     score = pl.pallas_call(
         kernel,
         grid=(Hp // TH,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TH, Wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
