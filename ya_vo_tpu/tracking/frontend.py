@@ -446,6 +446,14 @@ class Frontend:
             self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
             self._d_kf_pose,
         )
+        # start async device->host copies for everything the KEYFRAME path
+        # might need — they ride along with the mandatory gate sync below
+        # (payload is ~100 KB; tunnel cost is per-SYNC, not per-byte), so a
+        # keyframe decision later costs zero extra round trips
+        kf_pull = (flow_uv_d, flow_ok_d, inl_d, keep_d,
+                   r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d)
+        for arr in kf_pull:
+            arr.copy_to_host_async()
         n_flow, n_ba, T_new = jax.device_get((n_flow_d, n_ba_d, pose_d))
         n_flow, n_ba = int(n_flow), int(n_ba)
         t_step = (time.perf_counter() - t0) * 1e3
@@ -482,12 +490,10 @@ class Frontend:
         urgent = n_ba < tc.min_ba_inliers * 2
         if want_kf and (urgent
                         or self._frames_since_kf >= tc.min_keyframe_gap):
-            # keyframe path: pull tracking + speculative-replenish results
-            # in ONE transfer for host bookkeeping
+            # keyframe path: the async copies issued at dispatch time have
+            # already landed (they completed under the gate sync above)
             (flow_uv, flow_ok, inl, keep, r_uv1, r_uv2, r_pts, r_valid,
-             n_match) = jax.device_get(
-                (flow_uv_d, flow_ok_d, inl_d, keep_d,
-                 r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d))
+             n_match) = jax.device_get(kf_pull)
             # demote landmarks that were confidently tracked but rejected
             # by the pose solve (reference clears outlier features' map
             # points, LoopHandler.cc:850-855)
