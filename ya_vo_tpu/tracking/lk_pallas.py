@@ -2,24 +2,31 @@
 
 Why: the pure-jnp LK (ya_vo_tpu.tracking.lk) samples each keypoint's window
 with XLA gathers — ~9 ms per [N, 121] bilinear sample on a v5e, and the
-iteration loop needs ~90 of them (measured: 1.1 s/frame). This kernel
-eliminates HBM gathers entirely: per keypoint it DMAs
+iteration loop needs ~90 of them (measured: 1.1 s/frame). The reference
+calls cv::calcOpticalFlowPyrLK (src/LoopHandler.cc:372-375); this kernel is
+the TPU-native equivalent.
 
-  * one 16x16 template patch from the previous level image, and
-  * one 64x64 search patch from the current level image
+Design (v2): a KITTI-resolution pyramid level fits in VMEM outright
+(376 x 1280 f32 = 1.9 MB), so both images are kept fully VMEM-resident and
+window sampling needs NO per-keypoint DMA at all (v1 issued 2 patch DMAs
+per keypoint — 4096 DMA launches ≈ 2.6 ms/level of pure issue overhead).
+Per iteration a keypoint:
 
-into VMEM, then runs the full 30-iteration inverse-compositional solve
-on-chip. Bilinear sampling becomes four shifted static slices of the VMEM
-patch blended on the VPU (all 121 window taps share one fractional offset
-per keypoint, so one [12,12] integer sub-window + a 4-tap blend covers the
-whole window). The search patch allows +-25 px of drift from the seed;
-tracks that walk outside are clamped and reported with a high residual so
-the caller's status gate drops them — same failure semantics as OpenCV's
-out-of-image tracks (reference uses cv::calcOpticalFlowPyrLK,
-src/LoopHandler.cc:372-375).
+  * dynamically slices an aligned [32, 256] block around its current
+    position (row starts 8-aligned, col starts 128-aligned — aligned VMEM
+    views are free; the block FOLLOWS the track, so drift is unlimited,
+    unlike v1's +-25 px search patch);
+  * extracts its bilinear-blended 11x11 window with two tiny MXU matmuls
+    against one-hot selector matrices built from iota compares — the
+    fractional-offset weights are baked into the selectors, so sampling,
+    shifting and blending are TWO ops with no lane rotates.
 
-The public `track()` here matches ya_vo_tpu.tracking.lk.track and is
-selected automatically on TPU backends (see lk.auto_track).
+The template (intensity + gradients + inverted 2x2 normal matrix) is
+computed once per keypoint the same way from the previous image, then the
+inverse-compositional solve runs in an early-exit while_loop on-chip.
+
+The public `track()` matches ya_vo_tpu.tracking.lk.track and is selected
+automatically on TPU backends (see lk.auto_track).
 """
 
 from __future__ import annotations
@@ -34,99 +41,74 @@ from jax.experimental.pallas import tpu as pltpu
 from ya_vo_tpu.tracking.lk import FlowResult, build_pyramid
 
 KPB = 8       # keypoints per pallas program (block divisibility)
-# DMA slice starts must be tile-aligned (rows % 8 == 0, cols % 128 == 0 for
-# f32), so patch origins are aligned DOWN and the patch carries up to one
-# extra tile of residue in each dimension.
-TP_H = 24     # template patch rows (16 + 8 alignment residue)
-TP_W = 256    # template patch cols (128 + 128 residue; lane rotates need
-              # a 128-multiple width)
-SP_H = 72     # search patch rows
-SP_W = 256    # search patch cols
+BH = 32       # sampled block rows (8-aligned dynamic slice)
+BW = 256      # sampled block cols (128-aligned dynamic slice)
 HALF = 5      # 11x11 window
 
 
-def _blend(sub, au, av):
-    """Bilinear 4-tap blend of a [S, S] integer patch at fractional offset
-    (au, av) -> [S-1, S-1]."""
-    w00 = (1.0 - au) * (1.0 - av)
-    w01 = au * (1.0 - av)
-    w10 = (1.0 - au) * av
-    w11 = au * av
-    return (
-        w00 * sub[:-1, :-1] + w01 * sub[:-1, 1:]
-        + w10 * sub[1:, :-1] + w11 * sub[1:, 1:]
-    )
+def _selectors(ru, rv, bu, bv, rows: int, cols: int, size: int):
+    """Bilinear one-hot selector matrices for a `size x size` window at
+    fractional position (ru, rv), relative to a block at (bu, bv).
+
+    R [size, rows] row-selects (with the v-fraction blended in),
+    C [size, cols] col-selects (u-fraction blended in); the sampled window
+    is R @ block @ C^T."""
+    half = (size - 1) // 2
+    iu = jnp.floor(ru).astype(jnp.int32)
+    iv = jnp.floor(rv).astype(jnp.int32)
+    au = ru - jnp.floor(ru)
+    av = rv - jnp.floor(rv)
+    # window top-left relative to the block, clamped so the +1 blend tap
+    # stays inside (border keypoints sample a slightly shifted window —
+    # same semantics as v1 / OpenCV's edge clamping)
+    r0 = jnp.clip(iv - half - bv, 0, rows - size - 1)
+    c0 = jnp.clip(iu - half - bu, 0, cols - size - 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 1)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 0) + r0
+    R = ((ri == rj).astype(jnp.float32) * (1.0 - av)
+         + (ri == rj + 1).astype(jnp.float32) * av)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (size, cols), 1)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (size, cols), 0) + c0
+    C = ((ci == cj).astype(jnp.float32) * (1.0 - au)
+         + (ci == cj + 1).astype(jnp.float32) * au)
+    return R, C
+
+
+def _block_origin(ru, rv, H: int, W: int):
+    """Aligned [BH, BW] block origin roughly centred on (ru, rv)."""
+    bv = jnp.clip(((jnp.floor(rv).astype(jnp.int32) - BH // 2 + 4) // 8) * 8,
+                  0, H - BH)
+    bu = jnp.clip(((jnp.floor(ru).astype(jnp.int32) - BW // 2 + 64) // 128)
+                  * 128, 0, W - BW)
+    return pl.multiple_of(bu, 128), pl.multiple_of(bv, 8)
+
+
+def _sample_window(img_ref, ru, rv, size: int, H: int, W: int):
+    """Bilinear `size x size` window around (ru, rv) from a VMEM image."""
+    bu, bv = _block_origin(ru, rv, H, W)
+    S = img_ref[pl.ds(bv, BH), pl.ds(bu, BW)]          # [BH, BW] VMEM view
+    R, C = _selectors(ru, rv, bu, bv, BH, BW, size)
+    RS = jax.lax.dot_general(
+        R, S, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [size, BW]
+    return jax.lax.dot_general(
+        RS, C, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [size, size]
 
 
 def _lk_level_kernel(
     uv0_ref, seed_ref, img0_ref, img1_ref,
     out_uv_ref, out_eig_ref, out_res_ref,
-    tpatch_all, spatch_all, sem0, sem1,
     *, H: int, W: int, iters: int, eps: float,
 ):
-    # one program handles KPB keypoints (Mosaic needs block dims divisible
-    # by 8). Phase 1: issue ALL patch DMAs so transfers overlap each other
-    # and the per-keypoint compute (double-buffering across the block).
-    def patch_origin(k):
-        u0 = uv0_ref[k, 0]
-        v0 = uv0_ref[k, 1]
-        tu = jnp.clip(jnp.floor(u0).astype(jnp.int32) - 7, 0, W - TP_W)
-        tv = jnp.clip(jnp.floor(v0).astype(jnp.int32) - 7, 0, H - TP_H)
-        tu = pl.multiple_of((tu // 128) * 128, 128)
-        tv = pl.multiple_of((tv // 8) * 8, 8)
-        us = seed_ref[k, 0]
-        vs = seed_ref[k, 1]
-        su = jnp.clip(jnp.floor(us).astype(jnp.int32) - SP_W // 2, 0, W - SP_W)
-        sv = jnp.clip(jnp.floor(vs).astype(jnp.int32) - SP_H // 2, 0, H - SP_H)
-        su = pl.multiple_of((su // 128) * 128, 128)
-        sv = pl.multiple_of((sv // 8) * 8, 8)
-        return tu, tv, su, sv
-
-    def dmas(k):
-        tu, tv, su, sv = patch_origin(k)
-        d0 = pltpu.make_async_copy(
-            img0_ref.at[pl.ds(tv, TP_H), pl.ds(tu, TP_W)],
-            tpatch_all.at[k], sem0.at[k])
-        d1 = pltpu.make_async_copy(
-            img1_ref.at[pl.ds(sv, SP_H), pl.ds(su, SP_W)],
-            spatch_all.at[k], sem1.at[k])
-        return d0, d1
-
-    for k in range(KPB):
-        d0, d1 = dmas(k)
-        d0.start()
-        d1.start()
-
-    # Phase 2: process each keypoint as its patches land.
     for k in range(KPB):
         u0 = uv0_ref[k, 0]
         v0 = uv0_ref[k, 1]
-        us = seed_ref[k, 0]
-        vs = seed_ref[k, 1]
-        tu, tv, su, sv = patch_origin(k)
-        d0, d1 = dmas(k)
-        tpatch = tpatch_all.at[k]
-        spatch = spatch_all.at[k]
 
-        d0.wait()
-        # template window + gradients from a 14x14 blended neighborhood:
-        # B[i, j] = img0(v0 + i - 6, u0 + j - 6) for i, j in 0..12
-        rtu = u0 - tu.astype(jnp.float32)   # in [6, 8) away from borders
-        rtv = v0 - tv.astype(jnp.float32)
-        # clamp: keypoints closer than ~7 px to the border sample a slightly
-        # shifted window; the residual gate handles the rest
-        bu = jnp.clip(jnp.floor(rtu).astype(jnp.int32) - 6, 0, TP_W - 14)
-        bv = jnp.clip(jnp.floor(rtv).astype(jnp.int32) - 6, 0, TP_H - 14)
-        # NOTE: rtu/rtv in [6, 135) / [6, 16) after alignment; bounds hold
-        au = rtu - jnp.floor(rtu)
-        av = rtv - jnp.floor(rtv)
-        # dynamic vector loads need tile-aligned starts in BOTH dims:
-        # slice rows at an 8-aligned start, then rotate away the small
-        # residue (rotates require tile-aligned shapes, which [16, TP_W] is)
-        sub = tpatch[:]                          # [TP_H, TP_W]
-        sub = pltpu.roll(sub, TP_H - bv, axis=0)
-        sub = pltpu.roll(sub, TP_W - bu, axis=1)[:14, :14]
-        B = _blend(sub, au, av)             # [13, 13]
+        # template: 13x13 blended neighborhood -> 11x11 window + gradients
+        B = _sample_window(img0_ref, u0, v0, 13, H, W)
         T = B[1:12, 1:12]
         gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
         gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
@@ -143,38 +125,19 @@ def _lk_level_kernel(
         iG01 = -gxy / det_safe
         iG11 = gxx / det_safe
 
-        d1.wait()
-
-        # iterate in the search patch (positions relative to its origin)
-        suf = su.astype(jnp.float32)
-        svf = sv.astype(jnp.float32)
         lo = 6.0
-        hi_u = SP_W - 8.0
-        hi_v = SP_H - 8.0
+        hi_u = W - 8.0
+        hi_v = H - 8.0
 
-        def sample_window(ru, rv):
-            bu1 = jnp.floor(ru).astype(jnp.int32) - 5
-            bv1 = jnp.floor(rv).astype(jnp.int32) - 5
-            au1 = ru - jnp.floor(ru)
-            av1 = rv - jnp.floor(rv)
-            # 24 rows cover the 12-row window at any 8-residue start
-            bv8 = jnp.minimum((bv1 // 8) * 8, SP_H - 24)
-            bv8 = pl.multiple_of(bv8, 8)
-            S = spatch[pl.ds(bv8, 24), :]          # [24, SP_W]
-            S = pltpu.roll(S, 24 - (bv1 - bv8), axis=0)
-            S = pltpu.roll(S, SP_W - bu1, axis=1)[:12, :12]
-            return _blend(S, au1, av1)   # [11, 11]
-
-        # early-exit iteration: most tracks converge in < 10 steps, and the
-        # dynamic-rotate window extraction is the kernel's dominant cost —
-        # a while_loop cuts it ~3-5x vs a fixed 30-iteration fori_loop
+        # early-exit inverse-compositional iteration: most tracks converge
+        # in < 10 steps
         def cond(carry):
             _, _, it, step = carry
             return (it < iters) & (step >= eps)
 
         def body(carry):
             ru, rv, it, _ = carry
-            I = sample_window(ru, rv)
+            I = _sample_window(img1_ref, ru, rv, 11, H, W)
             err = I - T
             bx = jnp.sum(err * gx)
             by = jnp.sum(err * gy)
@@ -185,16 +148,16 @@ def _lk_level_kernel(
             rv = jnp.clip(rv + dv, lo, hi_v)
             return ru, rv, it + 1, step
 
-        ru0 = jnp.clip(us - suf, lo, hi_u)
-        rv0 = jnp.clip(vs - svf, lo, hi_v)
+        ru0 = jnp.clip(seed_ref[k, 0], lo, hi_u)
+        rv0 = jnp.clip(seed_ref[k, 1], lo, hi_v)
         ru, rv, _, _ = jax.lax.while_loop(
             cond, body, (ru0, rv0, jnp.int32(0), jnp.float32(1e9)))
 
-        I = sample_window(ru, rv)
+        I = _sample_window(img1_ref, ru, rv, 11, H, W)
         res = jnp.mean(jnp.abs(I - T))
 
-        out_uv_ref[k, 0] = ru + suf
-        out_uv_ref[k, 1] = rv + svf
+        out_uv_ref[k, 0] = ru
+        out_uv_ref[k, 1] = rv
         out_eig_ref[k, 0] = min_eig
         out_res_ref[k, 0] = res
 
@@ -202,15 +165,11 @@ def _lk_level_kernel(
 def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
     """One pyramid level for all keypoints. img*: [H, W] f32;
     uv0/seed: [N, 2]. Returns (uv [N, 2], min_eig [N], residual [N])."""
-    # pad small levels so the fixed patch shapes always fit (DMA starts
-    # are clamped; padding is zeros and only reachable by failing tracks)
+    # round image dims up to block/tile multiples so aligned dynamic slices
+    # always have room for a full [BH, BW] block
     H0, W0 = img0.shape
-    pad_h = max(0, SP_H - H0)
-    pad_w = max(0, SP_W - W0)
-    # also round image dims up to tile multiples so aligned DMA starts
-    # always leave room for a full patch
-    pad_h = max(pad_h, -(H0 % -8) if H0 % 8 else 0)
-    pad_w = max(pad_w, -(W0 % -128) if W0 % 128 else 0)
+    pad_h = max(BH, -(H0 % -8) + H0) - H0
+    pad_w = max(BW, -(W0 % -128) + W0) - W0
     if pad_h or pad_w:
         img0 = jnp.pad(img0, ((0, pad_h), (0, pad_w)))
         img1 = jnp.pad(img1, ((0, pad_h), (0, pad_w)))
@@ -226,8 +185,9 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
         in_specs=[
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            # whole level image stays VMEM-resident across the grid
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -238,12 +198,6 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
             jax.ShapeDtypeStruct((N, 2), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((KPB, TP_H, TP_W), jnp.float32),
-            pltpu.VMEM((KPB, SP_H, SP_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((KPB,)),
-            pltpu.SemaphoreType.DMA((KPB,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(uv0, seed, img0, img1)
