@@ -139,6 +139,12 @@ class Frontend:
             max_workers=1, thread_name_prefix="ba-backend")
         self._ba_pending = None
         self._session_epoch = 0
+        # pipelined-run state: the one dispatched-but-unresolved frame
+        self._pending = None
+        # bumped whenever the track-table SLOT layout changes (bootstrap /
+        # keyframe replenishment): a pipelined record dispatched under an
+        # older layout must not apply slot-indexed keyframe bookkeeping
+        self._map_epoch = 0
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -240,11 +246,12 @@ class Frontend:
             P2 = K @ solve.pose[:3, :4]
             r_pts, r_valid = triangulate(P1, P2, r_uv1, r_uv2, ok)
             n_matches = jnp.sum(m.mask.astype(jnp.int32))
+            n_kp = jnp.sum(kp.mask.astype(jnp.int32))
 
             return (kp, desc, flow.uv, flow.status, solve.inlier_mask,
                     keep, new_track_uv, solve.pose, new_rel,
                     n_flow, solve.n_inliers,
-                    r_uv1, r_uv2, r_pts, r_valid, n_matches)
+                    r_uv1, r_uv2, r_pts, r_valid, n_matches, n_kp)
 
         return step
 
@@ -277,10 +284,11 @@ class Frontend:
 
         return step
 
-    def _push_state_to_device(self) -> None:
-        """Refresh the device-resident tracking state from the host mirrors
-        (called whenever host bookkeeping touched them: bootstrap, keyframe
-        replenishment, BA apply, checkpoint restore)."""
+    def _push_map_state_to_device(self) -> None:
+        """Refresh the device-resident anchor/landmark/keyframe-context
+        state from the host mirrors — everything EXCEPT the pose chain
+        (pipelined mode keeps the device pose chain live across a keyframe;
+        see _pipe_step)."""
         alive = self.track_valid & (self.track_lm >= 0) & \
             self.map.landmark_alive[np.maximum(self.track_lm, 0)]
         self.track_valid = alive
@@ -288,13 +296,19 @@ class Frontend:
         self._d_track_valid = jnp.asarray(alive)
         self._d_lm_pos = jnp.asarray(
             self.map.landmark_pos[np.maximum(self.track_lm, 0)])
-        self._d_pose = jnp.asarray(self.last_pose)
-        self._d_rel = jnp.asarray(self.rel_motion)
         if self._kf_desc is not None:
             self._d_kf_desc = self._kf_desc
             self._d_kf_uv = self._kf_kp.uv
             self._d_kf_mask = self._kf_kp.mask
             self._d_kf_pose = jnp.asarray(self._kf_pose)
+
+    def _push_state_to_device(self) -> None:
+        """Refresh ALL device-resident tracking state from the host mirrors
+        (called whenever host bookkeeping touched them: bootstrap, keyframe
+        replenishment, BA apply, checkpoint restore)."""
+        self._push_map_state_to_device()
+        self._d_pose = jnp.asarray(self.last_pose)
+        self._d_rel = jnp.asarray(self.rel_motion)
 
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
@@ -311,19 +325,23 @@ class Frontend:
     # ------------------------------------------------------------------ #
     def process(self, img: np.ndarray) -> FrameResult:
         """Feed one grayscale frame (reference addFrame,
-        src/LoopHandler.cc:80-122)."""
+        src/LoopHandler.cc:80-122). Fully synchronous: gates are evaluated
+        before returning. `run()` uses the pipelined path instead."""
         self.frame_id += 1
         self._poll_ba()
-        t0 = time.perf_counter()
-        img_dev = jnp.asarray(img)
+        return self._process_sync(jnp.asarray(img))
 
+    def _process_sync(self, img_dev) -> FrameResult:
+        t0 = time.perf_counter()
         if self.status == VOStatus.INIT or self.last_img is None:
             kp, desc = self._extract(img_dev)
             res = self._handle_init(img_dev, kp, desc)
+            res.n_keypoints = int(kp.count())
         else:
-            kp, desc, res = self._handle_tracking(img_dev)
+            rec = self._dispatch_track(img_dev)
+            kp, desc = rec["kp"], rec["desc"]
+            res = self._finish_track(rec)
         res.timings_ms["frame"] = (time.perf_counter() - t0) * 1e3
-        res.n_keypoints = int(kp.count())
 
         if res.is_keyframe:
             self._kf_img = img_dev
@@ -410,6 +428,7 @@ class Frontend:
             self.frame_id, T2, uv2_np, lm_idx, lm_idx >= 0)
 
         self._session_epoch += 1  # invalidate in-flight backend work
+        self._map_epoch += 1      # track-table slots re-laid out
         # track table for the CURRENT frame (becomes "last" after process())
         self.track_uv.fill(0)
         self.track_lm.fill(-1)
@@ -426,53 +445,83 @@ class Frontend:
         return True, info  # caller records keyframe context in process()
 
     # ------------------------------------------------------------------ #
-    def _handle_tracking(self, img):
-        tc = self.cfg.tracking
-        t0 = time.perf_counter()
+    def _dispatch_track(self, img) -> dict:
+        """Dispatch the fused per-frame tracking step and commit the
+        device-side state chain — NO host sync happens here.
 
+        ONE device dispatch over DEVICE-RESIDENT state: extract +
+        constant-velocity prior + project-seeded LK + pose-GN (reference
+        runs these as separate stages across two threads, SURVEY.md
+        §3.2/§3.4). Everything the host may later need (gate scalars, pose,
+        keyframe-path arrays) starts an async device->host copy that lands
+        while the device works — the tunnel costs ~25 ms per SYNC, not per
+        byte, so the pull set is free and the sync itself can be deferred a
+        whole frame (see _pipe_step)."""
+        t0 = time.perf_counter()
         # template anchoring: track from the last KEYFRAME image when
         # available (no frame-to-frame drift accumulation)
         src_img = self._kf_img if self._kf_img is not None else self.last_img
-
-        # ONE device dispatch over DEVICE-RESIDENT state: extract +
-        # constant-velocity prior + project-seeded LK + pose-GN (reference
-        # runs these as separate stages across two threads, SURVEY.md
-        # §3.2/§3.4). The host reads back two scalars + the pose.
         (kp, desc, flow_uv_d, flow_ok_d, inl_d, keep_d, new_uv_d,
          pose_d, rel_d, n_flow_d, n_ba_d,
-         r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d) = self._track_step(
-            src_img, img, self._d_anchor_uv, self._d_track_valid,
-            self._d_lm_pos, self._d_pose, self._d_rel,
-            self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
-            self._d_kf_pose,
-        )
-        # start async device->host copies for everything the KEYFRAME path
-        # might need — they ride along with the mandatory gate sync below
-        # (payload is ~100 KB; tunnel cost is per-SYNC, not per-byte), so a
-        # keyframe decision later costs zero extra round trips
-        kf_pull = (flow_uv_d, flow_ok_d, inl_d, keep_d,
-                   r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d)
-        for arr in kf_pull:
+         r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d, n_kp_d) = \
+            self._track_step(
+                src_img, img, self._d_anchor_uv, self._d_track_valid,
+                self._d_lm_pos, self._d_pose, self._d_rel,
+                self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
+                self._d_kf_pose,
+            )
+        pull = (n_flow_d, n_ba_d, n_kp_d, pose_d, rel_d,
+                flow_uv_d, flow_ok_d, inl_d, keep_d,
+                r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d)
+        for arr in pull:
             arr.copy_to_host_async()
-        n_flow, n_ba, T_new = jax.device_get((n_flow_d, n_ba_d, pose_d))
-        n_flow, n_ba = int(n_flow), int(n_ba)
-        t_step = (time.perf_counter() - t0) * 1e3
-
-        if n_flow < tc.min_flow_inliers:
-            return kp, desc, self._reset(kp, desc, n_matches=0,
-                                         n_flow=n_flow)
-        if n_ba < tc.min_ba_inliers:
-            return kp, desc, self._reset(kp, desc, n_matches=0,
-                                         n_flow=n_flow, n_ba=n_ba)
-
-        # commit the device-side state; host mirrors of the track table are
-        # refreshed only on keyframes (transfers are the per-frame cost)
+        # commit the device-resident chain NOW so the next frame can be
+        # dispatched before this one's gates are read (pipelined mode); a
+        # failed gate later rebuilds this state wholesale via _reset
         self._d_track_uv = new_uv_d
         self._d_track_valid = keep_d
         self._d_pose = pose_d
         self._d_rel = rel_d
+        return dict(frame_id=self.frame_id, img=img, kp=kp, desc=desc,
+                    prev_kp=self.last_kp, prev_desc=self.last_desc,
+                    pull=pull, t0=t0, map_epoch=self._map_epoch)
+
+    def _finish_track(self, rec: dict) -> FrameResult:
+        """Evaluate the FSM gates and do all host bookkeeping for a
+        dispatched frame (reference track(), src/LoopHandler.cc:132-165).
+        In pipelined mode the async copies have already landed under the
+        NEXT frame's compute, so the reads below cost no round trip."""
+        tc = self.cfg.tracking
+        (n_flow_d, n_ba_d, n_kp_d, pose_d, rel_d, flow_uv_d, flow_ok_d,
+         inl_d, keep_d, r_uv1_d, r_uv2_d, r_pts_d, r_valid_d,
+         n_match_d) = rec["pull"]
+        kp, desc = rec["kp"], rec["desc"]
+        n_flow = int(np.asarray(n_flow_d))
+        n_ba = int(np.asarray(n_ba_d))
+        n_kp = int(np.asarray(n_kp_d))
+        t_step = (time.perf_counter() - rec["t0"]) * 1e3
+
+        if n_flow < tc.min_flow_inliers or n_ba < tc.min_ba_inliers:
+            # tracking failed: bootstrap from rec's PREDECESSOR frame pair
+            # (self.last_* may already point at a newer dispatched frame in
+            # pipelined mode)
+            self.last_kp, self.last_desc = rec["prev_kp"], rec["prev_desc"]
+            res = self._reset(kp, desc, n_matches=0,
+                              n_flow=n_flow, n_ba=n_ba)
+            self.last_kp, self.last_desc = kp, desc
+            self.last_img = rec["img"]
+            res.n_keypoints = n_kp
+            res.timings_ms["step"] = t_step
+            return res
+
+        # commit the host pose mirrors from the pulled pose. rel is
+        # recomputed on host in float64 (prev_pose = the frame before rec —
+        # in pipelined mode self.last_pose has not advanced past it, since
+        # mirrors only move here): the device rel chain uses f32 inverses,
+        # and seeding the next prior from those tips knife-edge keyframe
+        # decisions (measured: flipped cadence on half the bench seeds)
         prev_pose = self.last_pose
-        self.last_pose = np.asarray(T_new, np.float32)
+        self.last_pose = np.asarray(pose_d, np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
 
@@ -488,12 +537,18 @@ class Frontend:
             tc.min_ba_inliers * 2,
             int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers))
         urgent = n_ba < tc.min_ba_inliers * 2
-        if want_kf and (urgent
-                        or self._frames_since_kf >= tc.min_keyframe_gap):
-            # keyframe path: the async copies issued at dispatch time have
-            # already landed (they completed under the gate sync above)
+        # slot-layout guard: rec's flow/keep arrays index the track-table
+        # layout it was dispatched under; if a keyframe re-laid it out since
+        # (pipelined mode only), skip — the NEXT frame re-triggers if needed
+        fresh = rec["map_epoch"] == self._map_epoch
+        if fresh and want_kf and (urgent
+                                  or self._frames_since_kf
+                                  >= tc.min_keyframe_gap):
+            # keyframe path: the async copies have landed — no extra sync
             (flow_uv, flow_ok, inl, keep, r_uv1, r_uv2, r_pts, r_valid,
-             n_match) = jax.device_get(kf_pull)
+             n_match) = jax.device_get(
+                (flow_uv_d, flow_ok_d, inl_d, keep_d,
+                 r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d))
             # demote landmarks that were confidently tracked but rejected
             # by the pose solve (reference clears outlier features' map
             # points, LoopHandler.cc:850-855)
@@ -509,11 +564,13 @@ class Frontend:
                 self._kf_ref_inliers = n_ba + n_new
                 self._run_window_ba()
 
-        return kp, desc, FrameResult(
-            self.frame_id, "TRACKING", self.last_pose.copy(),
+        return FrameResult(
+            rec["frame_id"], "TRACKING", self.last_pose.copy(),
+            n_keypoints=n_kp,
             n_flow_inliers=n_flow, n_ba_inliers=n_ba,
             n_new_landmarks=n_new, is_keyframe=is_kf,
-            timings_ms={"step": t_step, "ba": self._last_ba_ms if is_kf else 0.0},
+            timings_ms={"step": t_step,
+                        "ba": self._last_ba_ms if is_kf else 0.0},
         )
 
     # ------------------------------------------------------------------ #
@@ -567,6 +624,7 @@ class Frontend:
             self.track_uv[f] = uv2[sl]
             self.track_lm[f] = lm_idx[sl]
             self.track_valid[f] = True
+        self._map_epoch += 1  # track-table slots re-laid out
 
         self.map.insert_keyframe(
             self.frame_id, self.last_pose,
@@ -710,6 +768,10 @@ class Frontend:
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
         self._kf_pose = (self._kf_pose @ corr).astype(np.float32)
+        # the DEVICE pose chain may have advanced past the host mirror
+        # (pipelined run / async BA): correct it in place. rel is invariant
+        # under the right-multiplied correction (rel' = T2 C (T1 C)^-1 = rel)
+        self._d_pose = jnp.matmul(self._d_pose, jnp.asarray(corr))
 
     def _poll_ba(self) -> None:
         """Apply a finished backend result (frontend-thread side)."""
@@ -757,15 +819,19 @@ class Frontend:
         )
 
     # ------------------------------------------------------------------ #
-    def run(self, frames) -> np.ndarray:
+    def run(self, frames, pipelined: bool = True) -> np.ndarray:
         """Drive a whole sequence; returns [F, 4, 4] world->camera poses
         (reference runVO, src/LoopHandler.cc:517-530).
 
-        The NEXT frame's host->device upload is issued before processing the
-        current one (device_put is async), so the transfer rides under the
-        current frame's compute — the device-side half of the reference's
-        missing ingest/compute overlap (its getNextFrame blocks the VO
-        thread on imread, src/LoopHandler.cc:917-927).
+        Two overlap mechanisms hide the host<->device boundary:
+        * the NEXT frame's upload is issued before processing the current
+          one (device_put is async), so the transfer rides under compute —
+          the reference instead blocks its VO thread on imread
+          (src/LoopHandler.cc:917-927);
+        * with `pipelined` (default), gate evaluation is deferred one frame
+          (see _pipe_step), hiding the ~25 ms tunnel sync per frame behind
+          the next frame's compute. `pipelined=False` reproduces the fully
+          synchronous reference semantics frame by frame.
         """
         it = iter(frames)
         try:
@@ -776,6 +842,105 @@ class Frontend:
             current = pending
             nxt = next(it, None)
             pending = jax.device_put(jnp.asarray(nxt)) if nxt is not None                 else None
-            self.process(current)
+            if pipelined:
+                self._pipe_step(current)
+            else:
+                self.process(current)
+        self._pipe_flush()
         self.finish()
         return np.stack(self.trajectory)
+
+    # ------------------------------------------------------------------ #
+    def _pipe_step(self, img_dev) -> None:
+        """Pipelined frame ingest: dispatch THIS frame's fused step first,
+        then resolve the PREVIOUS frame's gates and FSM bookkeeping — its
+        async device->host copies landed while this frame queued, so the
+        host never blocks on the frame it just dispatched. Keyframe and
+        reset decisions consequently apply one frame late; tracking quality
+        is unaffected because every step re-solves its pose against the
+        landmark set it was given, and a late keyframe only delays anchor
+        replenishment by one frame."""
+        self.frame_id += 1
+        self._poll_ba()
+        img_dev = jnp.asarray(img_dev)
+        if (self.status != VOStatus.TRACKING or self.last_img is None
+                or self._kf_img is None):
+            # bootstrap paths are rare and inherently host-driven: drain the
+            # pipeline and fall back to the synchronous step
+            self._pipe_flush()
+            self._process_sync(img_dev)
+            return
+        rec = self._dispatch_track(img_dev)
+        prev, self._pending = self._pending, rec
+        self.last_img = img_dev
+        self.last_kp, self.last_desc = rec["kp"], rec["desc"]
+        if prev is not None:
+            self._resolve_record(prev)
+
+    def _pipe_flush(self) -> None:
+        """Resolve the in-flight frame (end of sequence / mode switch)."""
+        if self._pending is not None:
+            rec, self._pending = self._pending, None
+            self._resolve_record(rec)
+
+    def _resolve_record(self, rec: dict) -> None:
+        """Finish a previously dispatched frame: gates, keyframe/BA
+        bookkeeping, trajectory. On a reset, the frame dispatched AFTER
+        `rec` ran against pre-reset state — it is redone from its stored
+        image (its extraction is state-independent and reused)."""
+        fid = self.frame_id
+        self.frame_id = rec["frame_id"]
+        try:
+            res = self._finish_track(rec)
+            res.timings_ms["frame"] = \
+                (time.perf_counter() - rec["t0"]) * 1e3
+            if res.is_keyframe:
+                self._kf_img = rec["img"]
+                self.track_anchor_uv = self.track_uv.copy()
+            if res.reset or res.is_keyframe:
+                # full push incl. pose: the device chain advanced past rec
+                # with a dispatch that is about to be REDONE below, so the
+                # authoritative state is the host mirrors (same as sync)
+                self._push_state_to_device()
+            self.trajectory.append(self.last_pose.copy())
+            self.results.append(res)
+        finally:
+            self.frame_id = fid
+
+        if (res.reset or res.is_keyframe) and self._pending is not None:
+            # rec's resolution mutated the tracking state (keyframe anchor/
+            # landmark relayout, or a reset rebuild) — the optimistically
+            # dispatched next frame ran against the OLD state. Re-dispatch
+            # it against the fresh state: the wasted dispatch costs device
+            # time but no host sync, and resolved results become exactly
+            # what the synchronous path would produce.
+            redo, self._pending = self._pending, None
+            if self.status == VOStatus.TRACKING:
+                rec2 = self._dispatch_track(redo["img"])
+                rec2["frame_id"] = redo["frame_id"]
+                # keep the ORIGINAL predecessor pair for a potential reset
+                # bootstrap (self.last_* already points at redo itself)
+                rec2["prev_kp"] = redo["prev_kp"]
+                rec2["prev_desc"] = redo["prev_desc"]
+                self._pending = rec2
+                self.last_img = redo["img"]
+                self.last_kp, self.last_desc = rec2["kp"], rec2["desc"]
+            else:
+                # re-init failed -> INIT: handle the redo frame's result
+                # synchronously, reusing its (state-independent) extraction
+                self.frame_id = redo["frame_id"]
+                try:
+                    res2 = self._handle_init(
+                        redo["img"], redo["kp"], redo["desc"])
+                    if res2.is_keyframe:
+                        self._kf_img = redo["img"]
+                        self.track_anchor_uv = self.track_uv.copy()
+                    if res2.is_keyframe or res2.reset:
+                        self._push_state_to_device()
+                    self.last_img = redo["img"]
+                    self.last_kp = redo["kp"]
+                    self.last_desc = redo["desc"]
+                    self.trajectory.append(self.last_pose.copy())
+                    self.results.append(res2)
+                finally:
+                    self.frame_id = fid
