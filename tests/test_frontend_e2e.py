@@ -108,6 +108,39 @@ def test_ba_disabled_still_works(sequence):
     assert ate < 0.08, ate
 
 
+def test_pipelined_matches_sync_exactly(sequence):
+    """The pipelined driver (dispatch-ahead + deferred gate resolution +
+    redo-on-state-change) must produce BIT-IDENTICAL results to the
+    synchronous reference semantics — same trajectory, same keyframe
+    cadence, same reset count."""
+    imgs, *_, cam = sequence
+    fe_sync = Frontend(make_config(), cam)
+    traj_sync = fe_sync.run(imgs, pipelined=False)
+    fe_pipe = Frontend(make_config(), cam)
+    traj_pipe = fe_pipe.run(imgs, pipelined=True)
+    np.testing.assert_array_equal(traj_sync, traj_pipe)
+    assert [r.is_keyframe for r in fe_sync.results] == \
+        [r.is_keyframe for r in fe_pipe.results]
+    assert fe_sync.n_resets == fe_pipe.n_resets
+    assert [r.n_ba_inliers for r in fe_sync.results] == \
+        [r.n_ba_inliers for r in fe_pipe.results]
+
+
+def test_pipelined_matches_sync_through_reset(sequence):
+    """Same equivalence through a blackout-induced RESET: the pipelined
+    redo path must reproduce the synchronous reset recovery."""
+    imgs, *_, cam = sequence
+    corrupted = list(imgs[:6]) + [np.zeros_like(imgs[0])] * 2 + list(imgs[6:])
+    fe_sync = Frontend(make_config(), cam)
+    traj_sync = fe_sync.run(corrupted, pipelined=False)
+    fe_pipe = Frontend(make_config(), cam)
+    traj_pipe = fe_pipe.run(corrupted, pipelined=True)
+    np.testing.assert_array_equal(traj_sync, traj_pipe)
+    assert fe_sync.n_resets == fe_pipe.n_resets
+    assert [r.status for r in fe_sync.results] == \
+        [r.status for r in fe_pipe.results]
+
+
 def test_reset_recovery_on_blackout(sequence):
     """Blank frames mid-sequence must trip the failure gates (reference
     LoopHandler.cc:144/:151) and the FSM must re-initialize and resume
