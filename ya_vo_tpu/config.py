@@ -75,6 +75,13 @@ class TrackConfig:
     keyframe_min_inlier_ratio: float = 0.5
     min_keyframe_gap: int = 1          # frames between keyframes unless
                                        # tracking is close to the failure gate
+    # parallax trigger: keyframe once the camera has translated this far
+    # (map units; the two-view bootstrap fixes the unit) since the last
+    # keyframe, even if inliers are healthy. Landmark DEPTH accuracy is set
+    # by triangulation baseline, so inlier-decay alone (which a robust
+    # tracker rarely trips) starves the map of fresh well-conditioned
+    # landmarks. <= 0 disables.
+    keyframe_max_translation: float = 1.5
 
 
 @dataclass(frozen=True)

@@ -536,6 +536,13 @@ class Frontend:
         want_kf = n_ba < max(
             tc.min_ba_inliers * 2,
             int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers))
+        # parallax trigger: healthy tracking must still spawn keyframes once
+        # the baseline since the last one is wide enough to triangulate well
+        if tc.keyframe_max_translation > 0:
+            c_now = -self.last_pose[:3, :3].T @ self.last_pose[:3, 3]
+            c_kf = -self._kf_pose[:3, :3].T @ self._kf_pose[:3, 3]
+            want_kf |= (np.linalg.norm(c_now - c_kf)
+                        > tc.keyframe_max_translation)
         urgent = n_ba < tc.min_ba_inliers * 2
         # slot-layout guard: rec's flow/keep arrays index the track-table
         # layout it was dispatched under; if a keyframe re-laid it out since
