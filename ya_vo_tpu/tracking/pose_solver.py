@@ -98,7 +98,8 @@ def solve_pose(
     """
     base_valid = mask
 
-    def body(_, T):
+    def body(state):
+        T, it, _ = state
         r, J, Z = _residuals_and_jacobian(T, pts_w, uv, cam)
         chi2 = jnp.sum(r * r, axis=-1)                        # [N]
         valid = base_valid & (Z > 1e-3)
@@ -120,9 +121,17 @@ def solve_pose(
         # guard divergent steps
         ok = jnp.all(jnp.isfinite(dx)) & (jnp.linalg.norm(dx) < 1.0)
         dx = jnp.where(ok, dx, jnp.zeros_like(dx))
-        return lie.se3_exp(dx) @ T
+        return lie.se3_exp(dx) @ T, it + 1, jnp.linalg.norm(dx)
 
-    T = jax.lax.fori_loop(0, iters, body, T_init)
+    def cond(state):
+        # early exit once the GN step is numerically negligible — a well-
+        # seeded frame converges in < 10 iterations, and each iteration is
+        # a full residual/Jacobian pass
+        _, it, step = state
+        return (it < iters) & (step > 1e-5)
+
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T_init, jnp.int32(0), jnp.float32(1.0)))
 
     r, _, Z = _residuals_and_jacobian(T, pts_w, uv, cam)
     chi2 = jnp.sum(r * r, axis=-1)
