@@ -141,6 +141,8 @@ class Frontend:
         self._session_epoch = 0
         # pipelined-run state: the one dispatched-but-unresolved frame
         self._pending = None
+        # consecutive-keyframe streak (see _pipe_step's storm heuristic)
+        self._kf_streak = 0
         # bumped whenever the track-table SLOT layout changes (bootstrap /
         # keyframe replenishment): a pipelined record dispatched under an
         # older layout must not apply slot-indexed keyframe bookkeeping
@@ -877,6 +879,13 @@ class Frontend:
             self._pipe_flush()
             self._process_sync(img_dev)
             return
+        if self._kf_streak >= 2 and self._pending is not None:
+            # keyframe storm (e.g. fast inlier decay): the pending frame is
+            # near-certain to be a keyframe, so the optimistic dispatch
+            # below would be redone anyway — resolve first and skip the
+            # wasted device pass. Results are identical either way; this
+            # only picks the cheaper schedule.
+            self._pipe_flush()
         rec = self._dispatch_track(img_dev)
         prev, self._pending = self._pending, rec
         self.last_img = img_dev
@@ -899,6 +908,7 @@ class Frontend:
         self.frame_id = rec["frame_id"]
         try:
             res = self._finish_track(rec)
+            self._kf_streak = self._kf_streak + 1 if res.is_keyframe else 0
             res.timings_ms["frame"] = \
                 (time.perf_counter() - rec["t0"]) * 1e3
             if res.is_keyframe:
