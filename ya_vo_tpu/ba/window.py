@@ -204,6 +204,16 @@ def solve_window(
     near-converged already, and each GN iteration costs ~6 ms on a v5e —
     paying 8 of them to confirm convergence tripled the per-keyframe BA
     cost for nothing."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_window(prob, cam, iters=iters, huber_delta=huber_delta,
+                             damping=damping, n_fixed_poses=n_fixed_poses,
+                             rel_tol=rel_tol)
+
+
+def _solve_window(prob, cam, *, iters, huber_delta, damping, n_fixed_poses,
+                  rel_tol) -> BAResult:
+    # full f32 matmul precision (set by the wrapper): normal equations and
+    # Schur complements cancel heavily; bf16 input rounding stalls GN
     L = prob.landmarks.shape[0]
     W = prob.poses.shape[0]
 

@@ -76,6 +76,17 @@ def estimate_two_view(
       K: [3, 3] shared intrinsics.
       key: PRNG key.
     """
+    with jax.default_matmul_precision("float32"):
+        return _estimate_two_view(
+            uv1, uv2, mask, K, key, n_hypotheses=n_hypotheses,
+            sample_size=sample_size,
+            inlier_threshold_px=inlier_threshold_px)
+
+
+def _estimate_two_view(uv1, uv2, mask, K, key, *, n_hypotheses, sample_size,
+                       inlier_threshold_px) -> TwoViewResult:
+    # full f32 matmul precision (set by the public wrapper): epipolar
+    # algebra is catastrophically sensitive to bf16 input rounding
     N = uv1.shape[0]
     fmask = mask.astype(uv1.dtype)
 

@@ -44,6 +44,15 @@ def triangulate(
       points_w: [..., N, 3] world points (garbage where invalid).
       valid: [..., N] bool — input mask AND quality AND positive-depth gates.
     """
+    with jax.default_matmul_precision("float32"):
+        return _triangulate(P1, P2, uv1, uv2, mask, quality_ratio,
+                            min_depth, max_depth)
+
+
+def _triangulate(P1, P2, uv1, uv2, mask, quality_ratio, min_depth,
+                 max_depth):
+    # full f32 matmul precision (set by the wrapper): DLT depth is a ratio
+    # of near-cancelling terms and bf16 input rounding poisons it
     # Build A [..., N, 4, 4] with rows u*P[2]-P[0], v*P[2]-P[1] per view
     u1 = uv1[..., 0]
     v1 = uv1[..., 1]

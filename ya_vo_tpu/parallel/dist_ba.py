@@ -246,7 +246,10 @@ def make_dist_solver(
 
     @jax.jit
     def solve(prob: DistBAProblem):
-        return mapped(prob.poses, prob.landmarks, prob.lm_valid,
-                      prob.obs_uv, prob.obs_valid)
+        # full f32 matmul precision: GN normal equations cancel heavily and
+        # the MXU's bf16 input rounding stalls convergence
+        with jax.default_matmul_precision("float32"):
+            return mapped(prob.poses, prob.landmarks, prob.lm_valid,
+                          prob.obs_uv, prob.obs_valid)
 
     return solve

@@ -127,10 +127,15 @@ class Frontend:
         self._d_kf_uv = jnp.zeros((K_cap, 2), jnp.float32)
         self._d_kf_mask = jnp.zeros(K_cap, bool)
         self._d_kf_pose = jnp.eye(4, dtype=jnp.float32)
+        self._d_kf_img = None          # [H, W] uint8 anchor keyframe image
+        self._d_kf_ref = jnp.float32(0.0)
+        self._d_fsk = jnp.int32(0)     # frames since last keyframe
+        # set by bootstrap / BA apply: device state must be rebuilt from the
+        # host mirrors before the next dispatch
+        self._state_dirty = False
 
         self._extract = self._build_extract()
         self._track_step = self._build_track_step()
-        self._replenish_step = self._build_replenish_step()
         self._kf_since_ba = 0
         self._frames_since_kf = 0
         # backend thread state
@@ -141,12 +146,6 @@ class Frontend:
         self._session_epoch = 0
         # pipelined-run state: the one dispatched-but-unresolved frame
         self._pending = None
-        # consecutive-keyframe streak (see _pipe_step's storm heuristic)
-        self._kf_streak = 0
-        # bumped whenever the track-table SLOT layout changes (bootstrap /
-        # keyframe replenishment): a pipelined record dispatched under an
-        # older layout must not apply slot-indexed keyframe bookkeeping
-        self._map_epoch = 0
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -173,10 +172,19 @@ class Frontend:
 
     def _build_track_step(self):
         """One fused jit for the entire steady-state tracking frame:
-        extract + project-seed + LK + pose-GN. A single device dispatch per
-        frame (host<->device sync is the per-frame bottleneck — SURVEY.md
-        §7.4 'host-device latency'); the host FSM afterwards reads two
-        scalars to evaluate its gates."""
+        extract + project-seed + LK + pose-GN + speculative replenishment +
+        the KEYFRAME decision and track-table merge. A single device
+        dispatch per frame (host<->device sync is the per-frame bottleneck,
+        SURVEY.md §7.4 'host-device latency').
+
+        The keyframe policy runs ON DEVICE: the step selects between the
+        tracked-only state and the merged post-keyframe state (new anchors,
+        new landmarks in free slots, refreshed keyframe context) with no
+        host round trip — the host replays the pulled record into the map
+        store asynchronously, one frame later, purely for bookkeeping
+        (keyframe insertion / BA / export). The reference's equivalent
+        control flow is spread over track()/insertFrameFeatures/
+        triangulate2View across two CPU threads (src/LoopHandler.cc)."""
         fc = self.cfg.features
         tc = self.cfg.tracking
         offsets = self._offsets
@@ -184,13 +192,30 @@ class Frontend:
 
         mc = self.cfg.matching
         K = self.K
+        K_cap = fc.max_keypoints
 
         @jax.jit
-        def step(img_prev, img_curr, anchor_uv, track_mask, lm_pos,
-                 pose, rel, kf_desc, kf_uv, kf_mask, kf_pose):
+        def step(kf_img, img_curr, anchor_uv, track_mask, lm_pos,
+                 pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                 kf_ref, fsk, cap_left):
             # state-in/state-out: all tracking state stays on device; the
-            # host reads back two gate scalars + the 4x4 pose per frame
-            # (every blocking transfer through the tunnel costs ~30 ms)
+            # host reads back gate scalars + the pose (async copies) and
+            # mirrors the keyframe record into the map store at resolve time.
+            # GEOMETRY runs at full f32 matmul precision: the TPU MXU's
+            # bf16 default rounds inputs to 8 mantissa bits, i.e. ~0.4%
+            # noise on every pose product / point transform — an ~8 cm
+            # pose-chain random walk per frame at 20 map units. Feature
+            # kernels (FAST/BRIEF/Hamming: small ints and +-1) are exact in
+            # bf16 and keep their own (faster) precision settings.
+            with jax.default_matmul_precision("float32"):
+                return _step_body(
+                    kf_img, img_curr, anchor_uv, track_mask, lm_pos,
+                    pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                    kf_ref, fsk, cap_left)
+
+        def _step_body(kf_img, img_curr, anchor_uv, track_mask, lm_pos,
+                       pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                       kf_ref, fsk, cap_left):
             T_prior = rel @ pose
 
             kp = fast.detect(
@@ -212,7 +237,7 @@ class Frontend:
             seed = jnp.where(use[:, None], seed, anchor_uv)
 
             flow = lk.auto_track(
-                img_prev, img_curr, anchor_uv, seed, use,
+                kf_img, img_curr, anchor_uv, seed, use,
                 levels=tc.lk_levels, half=tc.lk_window // 2,
                 iters=tc.lk_iters, eps=tc.lk_eps,
                 max_residual=tc.lk_max_residual,
@@ -225,64 +250,103 @@ class Frontend:
                 huber_delta=tc.huber_delta,
                 chi2_threshold=tc.chi2_threshold,
             )
+            n_ba = solve.n_inliers
             keep = flow.status & solve.inlier_mask
             new_track_uv = jnp.where(keep[:, None], flow.uv, anchor_uv)
+            # closed-form SE(3) inverse: jnp.linalg.inv's LU runs on the
+            # MXU at bf16 default precision (~1% translation noise), and
+            # the error compounds through the constant-velocity prior chain
             new_rel = solve.pose @ jnp.linalg.inv(pose)
 
             # speculative replenishment: match the anchor keyframe's
             # descriptors against this frame and triangulate with the
             # solved pose — computed every frame (a few ms of MXU work) so
-            # a keyframe decision costs ZERO extra dispatches
+            # a keyframe costs ZERO extra dispatches
             m = matching.match(
                 kf_desc, desc, kf_mask, kp.mask,
                 abs_threshold=mc.abs_threshold, cross_check=mc.cross_check)
-            r_uv1 = kf_uv
             r_uv2 = kp.uv[m.idx2]
             ok = m.mask
             d2 = jnp.sum(
                 (r_uv2[:, None, :] - new_track_uv[None, :, :]) ** 2, axis=-1)
             near = jnp.any((d2 < 144.0) & keep[None, :], axis=1)
             ok = ok & ~near
-            from ya_vo_tpu.geometry.triangulation import triangulate
+            from ya_vo_tpu.geometry.triangulation import (
+                reprojection_errors, triangulate)
             P1 = K @ kf_pose[:3, :4]
             P2 = K @ solve.pose[:3, :4]
-            r_pts, r_valid = triangulate(P1, P2, r_uv1, r_uv2, ok)
+            r_pts, r_valid = triangulate(P1, P2, kf_uv, r_uv2, ok)
+            # reprojection gate: a fresh landmark must explain BOTH of its
+            # views to sub-pixel-ish accuracy, else its depth is noise that
+            # later frames' pose solves inherit (short-baseline DLT passes
+            # the algebraic quality gate long before it is geometrically
+            # trustworthy)
+            if tc.replenish_max_reproj > 0:
+                e1 = reprojection_errors(P1, r_pts, kf_uv)
+                e2 = reprojection_errors(P2, r_pts, r_uv2)
+                r_valid &= ((e1 < tc.replenish_max_reproj)
+                            & (e2 < tc.replenish_max_reproj))
             n_matches = jnp.sum(m.mask.astype(jnp.int32))
             n_kp = jnp.sum(kp.mask.astype(jnp.int32))
 
-            return (kp, desc, flow.uv, flow.status, solve.inlier_mask,
-                    keep, new_track_uv, solve.pose, new_rel,
-                    n_flow, solve.n_inliers,
-                    r_uv1, r_uv2, r_pts, r_valid, n_matches, n_kp)
+            # ---- device-side keyframe decision (policy in _finish_track's
+            # docstring; identical maths to the former host version) ----
+            n_valid_new = jnp.sum(r_valid.astype(jnp.int32))
+            n_free = jnp.int32(K_cap) - jnp.sum(keep.astype(jnp.int32))
+            n_new = jnp.minimum(jnp.minimum(n_valid_new, n_free),
+                                cap_left.astype(jnp.int32))
+            want_kf = n_ba < jnp.maximum(
+                jnp.int32(2 * tc.min_ba_inliers),
+                (tc.keyframe_min_inlier_ratio * kf_ref).astype(jnp.int32))
+            if tc.keyframe_max_translation > 0:
+                c_now = -solve.pose[:3, :3].T @ solve.pose[:3, 3]
+                c_kf = -kf_pose[:3, :3].T @ kf_pose[:3, 3]
+                want_kf |= (jnp.linalg.norm(c_now - c_kf)
+                            > tc.keyframe_max_translation)
+            urgent = n_ba < jnp.int32(2 * tc.min_ba_inliers)
+            want_kf &= urgent | (fsk + 1 >= jnp.int32(tc.min_keyframe_gap))
+            # a frame that fails the FSM gates resets on the host instead —
+            # don't let it seed a keyframe from a broken pose
+            gates_ok = ((n_flow >= jnp.int32(tc.min_flow_inliers))
+                        & (n_ba >= jnp.int32(tc.min_ba_inliers)))
+            is_kf = (want_kf & gates_ok & (n_matches >= 8)
+                     & (n_valid_new >= 4) & (n_new > 0))
 
-        return step
+            # ---- merged post-keyframe track table: kept slots re-anchor at
+            # their tracked positions; new features fill free slots in
+            # ascending order (stable argsorts define the assignment; the
+            # host replays it from the pulled dest/src/n_new) ----
+            dest = jnp.argsort(keep.astype(jnp.int32), stable=True)
+            src = jnp.argsort(
+                jnp.logical_not(r_valid).astype(jnp.int32), stable=True)
+            write_ok = jnp.arange(K_cap) < n_new
+            anchor_kf = new_track_uv.at[dest].set(
+                jnp.where(write_ok[:, None], r_uv2[src],
+                          new_track_uv[dest]))
+            lm_kf = lm_pos.at[dest].set(
+                jnp.where(write_ok[:, None], r_pts[src], lm_pos[dest]))
+            valid_kf = keep.at[dest].set(keep[dest] | write_ok)
 
-    def _build_replenish_step(self):
-        """One fused jit for landmark replenishment: descriptor match +
-        suppression near already-tracked features + two-view triangulation."""
-        mc = self.cfg.matching
+            # ---- select the state chain by the keyframe decision ----
+            anchor_o = jnp.where(is_kf, anchor_kf, anchor_uv)
+            valid_o = jnp.where(is_kf, valid_kf, keep)
+            lm_o = jnp.where(is_kf, lm_kf, lm_pos)
+            kf_desc_o = jnp.where(is_kf, desc, kf_desc)
+            kf_uv_o = jnp.where(is_kf, kp.uv, kf_uv)
+            kf_mask_o = jnp.where(is_kf, kp.mask, kf_mask)
+            kf_pose_o = jnp.where(is_kf, solve.pose, kf_pose)
+            kf_img_o = jnp.where(is_kf, img_curr, kf_img)
+            kf_ref_o = jnp.where(is_kf, (n_ba + n_new).astype(jnp.float32),
+                                 kf_ref)
+            fsk_o = jnp.where(is_kf, jnp.int32(0), fsk + 1)
 
-        @jax.jit
-        def step(desc_prev, desc_curr, mask_prev, mask_curr,
-                 uv_prev, uv_curr, track_uv, track_valid, P1, P2):
-            m = matching.match(
-                desc_prev, desc_curr, mask_prev, mask_curr,
-                abs_threshold=mc.abs_threshold, cross_check=mc.cross_check,
-            )
-            uv1 = uv_prev
-            uv2 = uv_curr[m.idx2]
-            ok = m.mask
-            # suppress matches near existing tracked features (device-side;
-            # [K, K] distance matrix is one small matmul-shaped op)
-            d2 = jnp.sum(
-                (uv2[:, None, :] - track_uv[None, :, :]) ** 2, axis=-1)
-            near = jnp.any((d2 < 144.0) & track_valid[None, :], axis=1)
-            ok = ok & ~near
-
-            from ya_vo_tpu.geometry.triangulation import triangulate
-            pts_w, valid = triangulate(P1, P2, uv1, uv2, ok)
-            n_matches = jnp.sum(m.mask.astype(jnp.int32))
-            return uv1, uv2, pts_w, valid, n_matches
+            state_out = (anchor_o, valid_o, lm_o, solve.pose, new_rel,
+                         kf_desc_o, kf_uv_o, kf_mask_o, kf_pose_o, kf_img_o,
+                         kf_ref_o, fsk_o, new_track_uv)
+            record = (n_flow, n_ba, n_kp, n_matches, is_kf, n_new,
+                      solve.pose, keep, flow.status, solve.inlier_mask,
+                      dest, src, anchor_o, valid_o, r_pts)
+            return kp, desc, state_out, record
 
         return step
 
@@ -306,11 +370,16 @@ class Frontend:
 
     def _push_state_to_device(self) -> None:
         """Refresh ALL device-resident tracking state from the host mirrors
-        (called whenever host bookkeeping touched them: bootstrap, keyframe
-        replenishment, BA apply, checkpoint restore)."""
+        (called whenever host bookkeeping touched them: bootstrap, reset,
+        BA apply, checkpoint restore)."""
         self._push_map_state_to_device()
         self._d_pose = jnp.asarray(self.last_pose)
         self._d_rel = jnp.asarray(self.rel_motion)
+        if self._kf_img is not None:
+            self._d_kf_img = jnp.asarray(self._kf_img)
+        self._d_kf_ref = jnp.float32(self._kf_ref_inliers)
+        self._d_fsk = jnp.int32(self._frames_since_kf)
+        self._state_dirty = False
 
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
@@ -339,16 +408,24 @@ class Frontend:
             kp, desc = self._extract(img_dev)
             res = self._handle_init(img_dev, kp, desc)
             res.n_keypoints = int(kp.count())
+            if res.is_keyframe:         # bootstrap succeeded
+                self._kf_img = img_dev
+                self.track_anchor_uv = self.track_uv.copy()
         else:
+            if self._state_dirty:
+                self._push_state_to_device()
             rec = self._dispatch_track(img_dev)
             kp, desc = rec["kp"], rec["desc"]
             res = self._finish_track(rec)
         res.timings_ms["frame"] = (time.perf_counter() - t0) * 1e3
 
-        if res.is_keyframe:
+        if res.reset and res.is_keyframe:
+            # reset-bootstrap: record the new anchor keyframe image
             self._kf_img = img_dev
             self.track_anchor_uv = self.track_uv.copy()
-        if res.is_keyframe or res.reset:
+        if self._state_dirty:
+            # bootstrap / reset / BA apply touched host state: rebuild the
+            # device-resident chain before the next dispatch
             self._push_state_to_device()
         self.last_img = img_dev
         self.last_kp = kp
@@ -429,8 +506,8 @@ class Frontend:
         self.map.insert_keyframe(
             self.frame_id, T2, uv2_np, lm_idx, lm_idx >= 0)
 
-        self._session_epoch += 1  # invalidate in-flight backend work
-        self._map_epoch += 1      # track-table slots re-laid out
+        self._session_epoch += 1   # invalidate in-flight backend work
+        self._state_dirty = True   # device state must be rebuilt via push
         # track table for the CURRENT frame (becomes "last" after process())
         self.track_uv.fill(0)
         self.track_lm.fill(-1)
@@ -443,6 +520,7 @@ class Frontend:
         self.rel_motion = (T2 @ np.linalg.inv(T1)).astype(np.float32)
         self.last_pose = T2
         self._kf_ref_inliers = n_new
+        self._frames_since_kf = 0
         info["is_keyframe"] = True
         return True, info  # caller records keyframe context in process()
 
@@ -452,51 +530,58 @@ class Frontend:
         device-side state chain — NO host sync happens here.
 
         ONE device dispatch over DEVICE-RESIDENT state: extract +
-        constant-velocity prior + project-seeded LK + pose-GN (reference
-        runs these as separate stages across two threads, SURVEY.md
-        §3.2/§3.4). Everything the host may later need (gate scalars, pose,
-        keyframe-path arrays) starts an async device->host copy that lands
-        while the device works — the tunnel costs ~25 ms per SYNC, not per
-        byte, so the pull set is free and the sync itself can be deferred a
-        whole frame (see _pipe_step)."""
+        constant-velocity prior + project-seeded LK + pose-GN + the
+        keyframe decision/merge (reference runs these as separate stages
+        across two threads, SURVEY.md §3.2/§3.4). Everything the host may
+        later need (gate scalars, pose, the keyframe record) starts an
+        async device->host copy that lands while the device works — the
+        tunnel costs ~25 ms per SYNC, not per byte, so the pull set is free
+        and the sync itself can be deferred a whole frame (see _pipe_step).
+        """
         t0 = time.perf_counter()
-        # template anchoring: track from the last KEYFRAME image when
-        # available (no frame-to-frame drift accumulation)
-        src_img = self._kf_img if self._kf_img is not None else self.last_img
-        (kp, desc, flow_uv_d, flow_ok_d, inl_d, keep_d, new_uv_d,
-         pose_d, rel_d, n_flow_d, n_ba_d,
-         r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d, n_kp_d) = \
-            self._track_step(
-                src_img, img, self._d_anchor_uv, self._d_track_valid,
-                self._d_lm_pos, self._d_pose, self._d_rel,
-                self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
-                self._d_kf_pose,
-            )
-        pull = (n_flow_d, n_ba_d, n_kp_d, pose_d, rel_d,
-                flow_uv_d, flow_ok_d, inl_d, keep_d,
-                r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d)
-        for arr in pull:
+        # map-capacity guard for the in-jit landmark allocation (may be one
+        # frame stale in pipelined mode; only matters near a full map)
+        cap_left = max(0, self.map.max_landmarks - self.map.n_landmarks)
+        kp, desc, state_out, record = self._track_step(
+            self._d_kf_img, img, self._d_anchor_uv, self._d_track_valid,
+            self._d_lm_pos, self._d_pose, self._d_rel,
+            self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
+            self._d_kf_pose, self._d_kf_ref, self._d_fsk,
+            np.int32(cap_left),
+        )
+        for arr in record:
             arr.copy_to_host_async()
         # commit the device-resident chain NOW so the next frame can be
         # dispatched before this one's gates are read (pipelined mode); a
         # failed gate later rebuilds this state wholesale via _reset
-        self._d_track_uv = new_uv_d
-        self._d_track_valid = keep_d
-        self._d_pose = pose_d
-        self._d_rel = rel_d
+        (self._d_anchor_uv, self._d_track_valid, self._d_lm_pos,
+         self._d_pose, self._d_rel,
+         self._d_kf_desc, self._d_kf_uv, self._d_kf_mask, self._d_kf_pose,
+         self._d_kf_img, self._d_kf_ref, self._d_fsk,
+         self._d_track_uv) = state_out
         return dict(frame_id=self.frame_id, img=img, kp=kp, desc=desc,
                     prev_kp=self.last_kp, prev_desc=self.last_desc,
-                    pull=pull, t0=t0, map_epoch=self._map_epoch)
+                    pull=record, t0=t0)
 
     def _finish_track(self, rec: dict) -> FrameResult:
-        """Evaluate the FSM gates and do all host bookkeeping for a
-        dispatched frame (reference track(), src/LoopHandler.cc:132-165).
-        In pipelined mode the async copies have already landed under the
-        NEXT frame's compute, so the reads below cost no round trip."""
+        """Evaluate the FSM gates and REPLAY the device-made keyframe
+        decision into the host map store (reference track(),
+        src/LoopHandler.cc:132-165). In pipelined mode the async copies
+        have already landed under the NEXT frame's compute, so the reads
+        below cost no round trip.
+
+        Keyframe policy (decided ON DEVICE inside the step): replenish when
+        the tracked-inlier count decays below a fraction of its level at
+        the last keyframe, when tracking is close to the failure gate, or
+        when the camera has translated `keyframe_max_translation` since the
+        last keyframe. The reference has no explicit keyframe logic — every
+        successfully tracked frame enters the map (LoopHandler.cc
+        insertKeyFrame on every addFrame); a decay+parallax policy keeps
+        triangulation baselines wide and the backend off the hot path."""
         tc = self.cfg.tracking
-        (n_flow_d, n_ba_d, n_kp_d, pose_d, rel_d, flow_uv_d, flow_ok_d,
-         inl_d, keep_d, r_uv1_d, r_uv2_d, r_pts_d, r_valid_d,
-         n_match_d) = rec["pull"]
+        (n_flow_d, n_ba_d, n_kp_d, n_match_d, is_kf_d, n_new_d, pose_d,
+         keep_d, flow_ok_d, inl_d, dest_d, src_d, anchor_d, valid_d,
+         r_pts_d) = rec["pull"]
         kp, desc = rec["kp"], rec["desc"]
         n_flow = int(np.asarray(n_flow_d))
         n_ba = int(np.asarray(n_ba_d))
@@ -519,128 +604,53 @@ class Frontend:
         # commit the host pose mirrors from the pulled pose. rel is
         # recomputed on host in float64 (prev_pose = the frame before rec —
         # in pipelined mode self.last_pose has not advanced past it, since
-        # mirrors only move here): the device rel chain uses f32 inverses,
-        # and seeding the next prior from those tips knife-edge keyframe
-        # decisions (measured: flipped cadence on half the bench seeds)
+        # mirrors only move here): the host mirror feeds resets/pushes,
+        # where f32 inverse noise tips knife-edge downstream decisions
         prev_pose = self.last_pose
         self.last_pose = np.asarray(pose_d, np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
 
-        # keyframe policy: replenish when the tracked-inlier count decays
-        # below a fraction of its level at the last keyframe (or an absolute
-        # floor). The reference has no explicit keyframe logic — every
-        # successfully tracked frame enters the map (LoopHandler.cc:
-        # insertKeyFrame on every addFrame); a decay-based policy keeps
-        # triangulation baselines wide and the backend off the hot path.
-        n_new, is_kf = 0, False
+        is_kf = bool(np.asarray(is_kf_d))
+        n_new = int(np.asarray(n_new_d)) if is_kf else 0
         self._frames_since_kf += 1
-        want_kf = n_ba < max(
-            tc.min_ba_inliers * 2,
-            int(tc.keyframe_min_inlier_ratio * self._kf_ref_inliers))
-        # parallax trigger: healthy tracking must still spawn keyframes once
-        # the baseline since the last one is wide enough to triangulate well
-        if tc.keyframe_max_translation > 0:
-            c_now = -self.last_pose[:3, :3].T @ self.last_pose[:3, 3]
-            c_kf = -self._kf_pose[:3, :3].T @ self._kf_pose[:3, 3]
-            want_kf |= (np.linalg.norm(c_now - c_kf)
-                        > tc.keyframe_max_translation)
-        urgent = n_ba < tc.min_ba_inliers * 2
-        # slot-layout guard: rec's flow/keep arrays index the track-table
-        # layout it was dispatched under; if a keyframe re-laid it out since
-        # (pipelined mode only), skip — the NEXT frame re-triggers if needed
-        fresh = rec["map_epoch"] == self._map_epoch
-        if fresh and want_kf and (urgent
-                                  or self._frames_since_kf
-                                  >= tc.min_keyframe_gap):
-            # keyframe path: the async copies have landed — no extra sync
-            (flow_uv, flow_ok, inl, keep, r_uv1, r_uv2, r_pts, r_valid,
-             n_match) = jax.device_get(
-                (flow_uv_d, flow_ok_d, inl_d, keep_d,
-                 r_uv1_d, r_uv2_d, r_pts_d, r_valid_d, n_match_d))
+        if is_kf:
+            keep, flow_ok, inl, dest, src, anchor_o, valid_o, r_pts = \
+                jax.device_get((keep_d, flow_ok_d, inl_d, dest_d, src_d,
+                                anchor_d, valid_d, r_pts_d))
             # demote landmarks that were confidently tracked but rejected
             # by the pose solve (reference clears outlier features' map
-            # points, LoopHandler.cc:850-855)
-            self.map.kill_landmarks(self.track_lm[flow_ok & ~inl])
-            self.track_uv = np.where(keep[:, None], flow_uv, self.track_uv)
-            self.track_valid = np.array(keep)  # device_get arrays are RO
-
-            n_new = self._replenish_apply(
-                kp, desc, r_uv1, r_uv2, r_pts, r_valid, int(n_match))
-            is_kf = n_new > 0
-            if is_kf:
-                self._frames_since_kf = 0
-                self._kf_ref_inliers = n_ba + n_new
-                self._run_window_ba()
+            # points, src/LoopHandler.cc:850-855)
+            old_lm = self.track_lm
+            self.map.kill_landmarks(old_lm[flow_ok & ~inl])
+            # replay the device-side table merge: new landmarks enter the
+            # map in the same slot order the device assigned (dest/src)
+            d, s = dest[:n_new], src[:n_new]
+            lm_ids = self.map.add_landmarks(r_pts[s], np.ones(n_new, bool))
+            new_lm = np.where(keep, old_lm, -1).astype(np.int32)
+            new_lm[d] = lm_ids
+            self.track_lm = new_lm
+            self.track_uv = np.array(anchor_o)
+            self.track_valid = np.array(valid_o) & (new_lm >= 0)
+            self.track_anchor_uv = self.track_uv.copy()
+            self.map.insert_keyframe(
+                rec["frame_id"], self.last_pose,
+                self.track_uv, self.track_lm, self.track_valid)
+            self._kf_desc, self._kf_kp = desc, kp
+            self._kf_pose = self.last_pose.copy()
+            self._kf_img = rec["img"]
+            self._kf_ref_inliers = n_ba + n_new
+            self._frames_since_kf = 0
+            self._run_window_ba()
 
         return FrameResult(
             rec["frame_id"], "TRACKING", self.last_pose.copy(),
-            n_keypoints=n_kp,
+            n_keypoints=n_kp, n_matches=int(np.asarray(n_match_d)),
             n_flow_inliers=n_flow, n_ba_inliers=n_ba,
             n_new_landmarks=n_new, is_keyframe=is_kf,
             timings_ms={"step": t_step,
                         "ba": self._last_ba_ms if is_kf else 0.0},
         )
-
-    # ------------------------------------------------------------------ #
-    def _replenish(self, img, kp, desc) -> int:
-        """Create new landmarks by descriptor-matching the anchor keyframe
-        to the current frame and triangulating with the SOLVED poses (the
-        correctly-scaled analog of reference triangulate2View(first=false),
-        LoopHandler.cc:658-726). Standalone-dispatch variant used by paths
-        without speculative results (e.g. right after a bootstrap)."""
-        K = np.asarray(self.cam.K)
-        if self._kf_desc is not None:
-            ref_desc, ref_kp = self._kf_desc, self._kf_kp
-            T_ref = self._kf_pose
-        else:
-            ref_desc, ref_kp = self.last_desc, self.last_kp
-            T_ref = self.trajectory[-1] if self.trajectory else np.eye(4)
-        P1 = (K @ T_ref[:3, :4]).astype(np.float32)
-        P2 = (K @ self.last_pose[:3, :4]).astype(np.float32)
-
-        out = self._replenish_step(
-            ref_desc, desc, ref_kp.mask, kp.mask,
-            ref_kp.uv, kp.uv,
-            jnp.asarray(self.track_uv), jnp.asarray(self.track_valid),
-            jnp.asarray(P1), jnp.asarray(P2),
-        )
-        uv1, uv2, pts_w, valid, n_matches = jax.device_get(out)
-        return self._replenish_apply(kp, desc, uv1, uv2, pts_w, valid,
-                                     int(n_matches))
-
-    def _replenish_apply(self, kp, desc, uv1, uv2, pts_w, valid,
-                         n_matches) -> int:
-        """Host bookkeeping for replenishment results (from the fused
-        speculative path or the standalone dispatch): create landmarks,
-        extend the track table, insert the keyframe, refresh kf context."""
-        if n_matches < 8 or valid.sum() < 4:
-            return 0
-
-        lm_idx = self.map.add_landmarks(pts_w, valid)
-        created = lm_idx >= 0
-        n_new = int(created.sum())
-        if n_new == 0:
-            return 0
-
-        # extend the track table with the new features in free slots
-        free = np.nonzero(~self.track_valid)[0]
-        src = np.nonzero(created)[0]
-        n_add = min(len(free), len(src))
-        if n_add:
-            f = free[:n_add]
-            sl = src[:n_add]
-            self.track_uv[f] = uv2[sl]
-            self.track_lm[f] = lm_idx[sl]
-            self.track_valid[f] = True
-        self._map_epoch += 1  # track-table slots re-laid out
-
-        self.map.insert_keyframe(
-            self.frame_id, self.last_pose,
-            self.track_uv, self.track_lm, self.track_valid)
-        self._kf_desc, self._kf_kp = desc, kp
-        self._kf_pose = self.last_pose.copy()
-        return n_new
 
     # ------------------------------------------------------------------ #
     def _run_window_ba(self) -> None:
@@ -777,10 +787,9 @@ class Frontend:
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
         self._kf_pose = (self._kf_pose @ corr).astype(np.float32)
-        # the DEVICE pose chain may have advanced past the host mirror
-        # (pipelined run / async BA): correct it in place. rel is invariant
-        # under the right-multiplied correction (rel' = T2 C (T1 C)^-1 = rel)
-        self._d_pose = jnp.matmul(self._d_pose, jnp.asarray(corr))
+        # device landmark/pose state is now stale: rebuild before the next
+        # dispatch (sync path) or redo the in-flight frame (pipelined path)
+        self._state_dirty = True
 
     def _poll_ba(self) -> None:
         """Apply a finished backend result (frontend-thread side)."""
@@ -812,6 +821,7 @@ class Frontend:
         (unit-scale) motion onto the last good pose (reference reinitialize,
         src/LoopHandler.cc:168-296 — same scale caveat)."""
         self.n_resets += 1
+        self._state_dirty = True  # device chain holds the failed frame
         ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=True)
         if not ok:
             self.status = VOStatus.INIT
@@ -870,6 +880,10 @@ class Frontend:
         landmark set it was given, and a late keyframe only delays anchor
         replenishment by one frame."""
         self.frame_id += 1
+        if self._ba_pending is not None and self._ba_pending["fut"].done():
+            # async-backend result ready: resolve the in-flight frame first
+            # so the correction applies at a consistent point in the chain
+            self._pipe_flush()
         self._poll_ba()
         img_dev = jnp.asarray(img_dev)
         if (self.status != VOStatus.TRACKING or self.last_img is None
@@ -879,13 +893,10 @@ class Frontend:
             self._pipe_flush()
             self._process_sync(img_dev)
             return
-        if self._kf_streak >= 2 and self._pending is not None:
-            # keyframe storm (e.g. fast inlier decay): the pending frame is
-            # near-certain to be a keyframe, so the optimistic dispatch
-            # below would be redone anyway — resolve first and skip the
-            # wasted device pass. Results are identical either way; this
-            # only picks the cheaper schedule.
+        if self._state_dirty:
             self._pipe_flush()
+            if self._state_dirty:
+                self._push_state_to_device()
         rec = self._dispatch_track(img_dev)
         prev, self._pending = self._pending, rec
         self.last_img = img_dev
@@ -908,29 +919,32 @@ class Frontend:
         self.frame_id = rec["frame_id"]
         try:
             res = self._finish_track(rec)
-            self._kf_streak = self._kf_streak + 1 if res.is_keyframe else 0
             res.timings_ms["frame"] = \
                 (time.perf_counter() - rec["t0"]) * 1e3
-            if res.is_keyframe:
+            if res.reset and res.is_keyframe:
+                # reset-bootstrap: record the new anchor keyframe image
+                # (device-decided keyframes record theirs in _finish_track)
                 self._kf_img = rec["img"]
                 self.track_anchor_uv = self.track_uv.copy()
-            if res.reset or res.is_keyframe:
-                # full push incl. pose: the device chain advanced past rec
-                # with a dispatch that is about to be REDONE below, so the
-                # authoritative state is the host mirrors (same as sync)
+            dirty = self._state_dirty
+            if dirty:
+                # reset or BA apply rebuilt host state: push it; the device
+                # chain advanced past rec with a dispatch that is about to
+                # be REDONE below, so the host mirrors are authoritative
                 self._push_state_to_device()
             self.trajectory.append(self.last_pose.copy())
             self.results.append(res)
         finally:
             self.frame_id = fid
 
-        if (res.reset or res.is_keyframe) and self._pending is not None:
-            # rec's resolution mutated the tracking state (keyframe anchor/
-            # landmark relayout, or a reset rebuild) — the optimistically
-            # dispatched next frame ran against the OLD state. Re-dispatch
-            # it against the fresh state: the wasted dispatch costs device
-            # time but no host sync, and resolved results become exactly
-            # what the synchronous path would produce.
+        if dirty and self._pending is not None:
+            # rec's resolution rebuilt the device state (reset or BA apply)
+            # — the optimistically dispatched next frame ran against the
+            # OLD state. Re-dispatch it against the fresh state: the wasted
+            # dispatch costs device time but no host sync, and resolved
+            # results stay exactly what the synchronous path would produce.
+            # (A plain device-side keyframe does NOT invalidate anything —
+            # the in-flight frame already tracks against the merged table.)
             redo, self._pending = self._pending, None
             if self.status == VOStatus.TRACKING:
                 rec2 = self._dispatch_track(redo["img"])
@@ -952,7 +966,7 @@ class Frontend:
                     if res2.is_keyframe:
                         self._kf_img = redo["img"]
                         self.track_anchor_uv = self.track_uv.copy()
-                    if res2.is_keyframe or res2.reset:
+                    if self._state_dirty:
                         self._push_state_to_device()
                     self.last_img = redo["img"]
                     self.last_kp = redo["kp"]

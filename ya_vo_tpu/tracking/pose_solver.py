@@ -96,6 +96,17 @@ def solve_pose(
       mask: [N] bool valid observations.
       iters: total GN iterations (reference: 4 rounds x 10).
     """
+    # geometry at full f32 matmul precision: the MXU bf16 default rounds
+    # pose/landmark inputs to 8 mantissa bits, flooring the solve accuracy
+    # at ~1-2 px reprojection regardless of iterations
+    with jax.default_matmul_precision("float32"):
+        return _solve_pose(T_init, pts_w, uv, mask, cam, iters=iters,
+                           huber_delta=huber_delta,
+                           chi2_threshold=chi2_threshold, damping=damping)
+
+
+def _solve_pose(T_init, pts_w, uv, mask, cam, *, iters, huber_delta,
+                chi2_threshold, damping) -> PoseSolveResult:
     base_valid = mask
 
     def body(state):
