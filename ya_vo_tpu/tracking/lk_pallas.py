@@ -99,72 +99,87 @@ def _sample_window(img_ref, ru, rv, size: int, H: int, W: int):
 
 
 def _lk_level_kernel(
-    uv0_ref, seed_ref, img0_ref, img1_ref,
+    uv0_ref, seed_ref, valid_ref, img0_ref, img1_ref,
     out_uv_ref, out_eig_ref, out_res_ref,
     *, H: int, W: int, iters: int, eps: float,
 ):
     for k in range(KPB):
-        u0 = uv0_ref[k, 0]
-        v0 = uv0_ref[k, 1]
+        # dead track-table slots (fixed-capacity masked arrays) skip ALL
+        # sampling/iteration work — the table is typically 25-50% occupied,
+        # so this is a 2-4x kernel-time saving, not a micro-opt
+        @pl.when(valid_ref[k, 0] > 0)
+        def _track_one(k=k):
+            u0 = uv0_ref[k, 0]
+            v0 = uv0_ref[k, 1]
 
-        # template: 13x13 blended neighborhood -> 11x11 window + gradients
-        B = _sample_window(img0_ref, u0, v0, 13, H, W)
-        T = B[1:12, 1:12]
-        gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
-        gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
+            # template: 13x13 blended neighborhood -> 11x11 window + grads
+            B = _sample_window(img0_ref, u0, v0, 13, H, W)
+            T = B[1:12, 1:12]
+            gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
+            gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
 
-        gxx = jnp.sum(gx * gx)
-        gxy = jnp.sum(gx * gy)
-        gyy = jnp.sum(gy * gy)
-        det = gxx * gyy - gxy * gxy
-        trace = gxx + gyy
-        min_eig = (trace - jnp.sqrt(
-            jnp.maximum(trace * trace - 4.0 * det, 0.0))) * 0.5 / (11.0 * 11.0)
-        det_safe = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
-        iG00 = gyy / det_safe
-        iG01 = -gxy / det_safe
-        iG11 = gxx / det_safe
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            trace = gxx + gyy
+            min_eig = (trace - jnp.sqrt(
+                jnp.maximum(trace * trace - 4.0 * det, 0.0))) \
+                * 0.5 / (11.0 * 11.0)
+            det_safe = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+            iG00 = gyy / det_safe
+            iG01 = -gxy / det_safe
+            iG11 = gxx / det_safe
 
-        lo = 6.0
-        hi_u = W - 8.0
-        hi_v = H - 8.0
+            lo = 6.0
+            hi_u = W - 8.0
+            hi_v = H - 8.0
 
-        # early-exit inverse-compositional iteration: most tracks converge
-        # in < 10 steps
-        def cond(carry):
-            _, _, it, step = carry
-            return (it < iters) & (step >= eps)
+            # early-exit inverse-compositional iteration: most tracks
+            # converge in < 10 steps
+            def cond(carry):
+                _, _, it, step = carry
+                return (it < iters) & (step >= eps)
 
-        def body(carry):
-            ru, rv, it, _ = carry
+            def body(carry):
+                ru, rv, it, _ = carry
+                I = _sample_window(img1_ref, ru, rv, 11, H, W)
+                err = I - T
+                bx = jnp.sum(err * gx)
+                by = jnp.sum(err * gy)
+                du = -(iG00 * bx + iG01 * by)
+                dv = -(iG01 * bx + iG11 * by)
+                step = jnp.sqrt(du * du + dv * dv)
+                ru = jnp.clip(ru + du, lo, hi_u)
+                rv = jnp.clip(rv + dv, lo, hi_v)
+                return ru, rv, it + 1, step
+
+            ru0 = jnp.clip(seed_ref[k, 0], lo, hi_u)
+            rv0 = jnp.clip(seed_ref[k, 1], lo, hi_v)
+            ru, rv, _, _ = jax.lax.while_loop(
+                cond, body, (ru0, rv0, jnp.int32(0), jnp.float32(1e9)))
+
             I = _sample_window(img1_ref, ru, rv, 11, H, W)
-            err = I - T
-            bx = jnp.sum(err * gx)
-            by = jnp.sum(err * gy)
-            du = -(iG00 * bx + iG01 * by)
-            dv = -(iG01 * bx + iG11 * by)
-            step = jnp.sqrt(du * du + dv * dv)
-            ru = jnp.clip(ru + du, lo, hi_u)
-            rv = jnp.clip(rv + dv, lo, hi_v)
-            return ru, rv, it + 1, step
+            res = jnp.mean(jnp.abs(I - T))
 
-        ru0 = jnp.clip(seed_ref[k, 0], lo, hi_u)
-        rv0 = jnp.clip(seed_ref[k, 1], lo, hi_v)
-        ru, rv, _, _ = jax.lax.while_loop(
-            cond, body, (ru0, rv0, jnp.int32(0), jnp.float32(1e9)))
+            out_uv_ref[k, 0] = ru
+            out_uv_ref[k, 1] = rv
+            out_eig_ref[k, 0] = min_eig
+            out_res_ref[k, 0] = res
 
-        I = _sample_window(img1_ref, ru, rv, 11, H, W)
-        res = jnp.mean(jnp.abs(I - T))
-
-        out_uv_ref[k, 0] = ru
-        out_uv_ref[k, 1] = rv
-        out_eig_ref[k, 0] = min_eig
-        out_res_ref[k, 0] = res
+        @pl.when(valid_ref[k, 0] <= 0)
+        def _dead_slot(k=k):
+            out_uv_ref[k, 0] = seed_ref[k, 0]
+            out_uv_ref[k, 1] = seed_ref[k, 1]
+            out_eig_ref[k, 0] = jnp.float32(0.0)
+            out_res_ref[k, 0] = jnp.float32(1e9)
 
 
-def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
+def _track_level_pallas(img0, img1, uv0, seed, valid, iters: int,
+                        eps: float):
     """One pyramid level for all keypoints. img*: [H, W] f32;
-    uv0/seed: [N, 2]. Returns (uv [N, 2], min_eig [N], residual [N])."""
+    uv0/seed: [N, 2]; valid: [N] bool (dead slots are skipped in-kernel).
+    Returns (uv [N, 2], min_eig [N], residual [N])."""
     # round image dims up to block/tile multiples so aligned dynamic slices
     # always have room for a full [BH, BW] block
     H0, W0 = img0.shape
@@ -185,6 +200,7 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
         in_specs=[
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             # whole level image stays VMEM-resident across the grid
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -200,7 +216,7 @@ def _track_level_pallas(img0, img1, uv0, seed, iters: int, eps: float):
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(uv0, seed, img0, img1)
+    )(uv0, seed, valid.astype(jnp.int32)[:, None], img0, img1)
     return uv, eig[:, 0], res[:, 0]
 
 
@@ -239,7 +255,7 @@ def track(
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
         uv, eig, residual = _track_level_pallas(
-            pyr0[lvl], pyr1[lvl], uv0 / s, uv, iters, eps)
+            pyr0[lvl], pyr1[lvl], uv0 / s, uv, mask, iters, eps)
         cond_all = cond_all & (eig > min_eig)
         if lvl > 0:
             uv = uv * 2.0
