@@ -43,14 +43,26 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> jnp.ndarray:
 
 
 def gaussian_blur(img_f32: jnp.ndarray, ksize: int = 9, sigma: float = 2.5):
-    """Separable Gaussian blur on [H, W] float32 (SAME padding)."""
+    """Separable Gaussian blur on [H, W] float32 (SAME zero padding).
+
+    Implemented as 2 x ksize statically-shifted multiply-adds (pure VPU
+    elementwise work, ~34 MB of HBM traffic at 9 taps) rather than
+    `lax.conv`: a single-channel [1, 1, H, W] conv maps onto the MXU with a
+    contraction depth of 1, wasting the systolic array — measured 3.7 ms
+    (bf16) / 10 ms (under the pipeline's f32 matmul-precision scope) vs
+    ~0.3 ms for the shifted-add form, for identical output."""
     k = gaussian_kernel_1d(ksize, sigma)
-    img4 = img_f32[None, None]  # NCHW
-    kv = k.reshape(1, 1, ksize, 1)
-    ku = k.reshape(1, 1, 1, ksize)
-    out = jax.lax.conv_general_dilated(img4, kv, (1, 1), "SAME")
-    out = jax.lax.conv_general_dilated(out, ku, (1, 1), "SAME")
-    return out[0, 0]
+    half = ksize // 2
+    H, W = img_f32.shape
+    p = jnp.pad(img_f32, ((half, half), (0, 0)))
+    out = k[0] * p[0:H, :]
+    for i in range(1, ksize):
+        out = out + k[i] * p[i:i + H, :]
+    p = jnp.pad(out, ((0, 0), (half, half)))
+    out = k[0] * p[:, 0:W]
+    for i in range(1, ksize):
+        out = out + k[i] * p[:, i:i + W]
+    return out
 
 
 def describe(

@@ -272,10 +272,10 @@ class Frontend:
             near = jnp.any((d2 < 144.0) & keep[None, :], axis=1)
             ok = ok & ~near
             from ya_vo_tpu.geometry.triangulation import (
-                reprojection_errors, triangulate)
+                reprojection_errors, triangulate_fast)
             P1 = K @ kf_pose[:3, :4]
             P2 = K @ solve.pose[:3, :4]
-            r_pts, r_valid = triangulate(P1, P2, kf_uv, r_uv2, ok)
+            r_pts, r_valid = triangulate_fast(P1, P2, kf_uv, r_uv2, ok)
             # reprojection gate: a fresh landmark must explain BOTH of its
             # views to sub-pixel-ish accuracy, else its depth is noise that
             # later frames' pose solves inherit (short-baseline DLT passes
