@@ -30,6 +30,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running e2e tests (minutes); always part of "
+        "the default run, deselectable with -m 'not slow'")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -62,7 +62,14 @@ class TrackConfig:
     lk_levels: int = 3
     lk_iters: int = 30
     lk_eps: float = 0.01
-    lk_max_residual: float = 12.0      # mean abs photometric residual gate
+    # photometric residual gate: pass if mean |I - T| <
+    # max(lk_max_residual, lk_rel_residual * std(template)). Absolute-only
+    # gating cannot work on real imagery: measured on a real KITTI photo,
+    # perfectly tracked high-contrast windows leave residual ~0.2-0.38x the
+    # template's std (resampling blur), mistracks leave >= 0.7x — see
+    # tests/test_real_images.py.
+    lk_max_residual: float = 12.0
+    lk_rel_residual: float = 0.5
     # pose-only GN/LM (reference: chi2 5.991, 4 rounds x 10 iters, Huber,
     # LoopHandler.cc:811-838)
     gn_rounds: int = 4

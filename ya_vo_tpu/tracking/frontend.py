@@ -241,6 +241,7 @@ class Frontend:
                 levels=tc.lk_levels, half=tc.lk_window // 2,
                 iters=tc.lk_iters, eps=tc.lk_eps,
                 max_residual=tc.lk_max_residual,
+                rel_residual=tc.lk_rel_residual,
             )
             n_flow = jnp.sum(flow.status.astype(jnp.int32))
 

@@ -150,10 +150,13 @@ def _track_level(
 
     uv1 = jax.lax.fori_loop(0, iters, body, uv1)
 
-    # final residual
+    # final residual + template contrast (for the normalized residual gate)
     I = _bilinear(img1, uv1[:, 0:1] + du[None, :], uv1[:, 1:2] + dv[None, :])
     residual = jnp.mean(jnp.abs(I - T), axis=1)
-    return uv1, cond_ok, residual
+    t_mean = jnp.mean(T, axis=1)
+    t_std = jnp.sqrt(jnp.maximum(
+        jnp.mean(T * T, axis=1) - t_mean * t_mean, 0.0))
+    return uv1, cond_ok, residual, t_std
 
 
 def auto_track(*args, **kwargs) -> "FlowResult":
@@ -169,7 +172,7 @@ def auto_track(*args, **kwargs) -> "FlowResult":
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "half", "iters", "eps", "min_eig",
-                     "max_residual"),
+                     "max_residual", "rel_residual"),
 )
 def track(
     img0: jnp.ndarray,
@@ -184,6 +187,7 @@ def track(
     eps: float = 0.01,
     min_eig: float = 1e-3,
     max_residual: float = 12.0,
+    rel_residual: float = 0.5,
 ) -> FlowResult:
     """Track keypoints uv0 from img0 to img1.
 
@@ -193,6 +197,15 @@ def track(
       uv_init: [N, 2] initial guesses in img1 (projection-seeded, like the
         reference's OPTFLOW_USE_INITIAL_FLOW-style seeding).
       mask: [N] bool valid keypoints.
+
+    The residual gate is CONTRAST-NORMALIZED: a track passes if
+    residual < max(max_residual, rel_residual * std(template)). Measured on
+    a real KITTI photograph (tests/test_real_images.py), a perfectly tracked
+    high-contrast window leaves mean |I - T| up to ~0.38 * std(T) from
+    resampling blur alone, while a 4 px mistrack leaves >= 0.70 * std(T);
+    an absolute threshold cannot separate the two (good p95 = 22 vs bad
+    p10 = 21.7 intensity levels). `max_residual` survives as the absolute
+    floor for low-contrast windows.
     """
     img0 = img0.astype(jnp.float32)
     img1 = img1.astype(jnp.float32)
@@ -204,9 +217,10 @@ def track(
     uv = uv_init / scale_top
     cond_all = jnp.ones(uv0.shape[0], bool)
     residual = jnp.zeros(uv0.shape[0], jnp.float32)
+    t_std = jnp.zeros(uv0.shape[0], jnp.float32)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
-        uv, cond_ok, residual = _track_level(
+        uv, cond_ok, residual, t_std = _track_level(
             pyr0[lvl], pyr1[lvl], uv0 / s, uv, half, iters, eps, min_eig
         )
         cond_all = cond_all & cond_ok
@@ -217,5 +231,6 @@ def track(
         (uv[:, 0] >= half) & (uv[:, 0] < W - half)
         & (uv[:, 1] >= half) & (uv[:, 1] < H - half)
     )
-    status = mask & cond_all & in_bounds & (residual < max_residual)
+    gate = jnp.maximum(max_residual, rel_residual * t_std)
+    status = mask & cond_all & in_bounds & (residual < gate)
     return FlowResult(uv=uv, status=status, residual=residual)

@@ -100,7 +100,7 @@ def _sample_window(img_ref, ru, rv, size: int, H: int, W: int):
 
 def _lk_level_kernel(
     uv0_ref, seed_ref, valid_ref, img0_ref, img1_ref,
-    out_uv_ref, out_eig_ref, out_res_ref,
+    out_uv_ref, out_eig_ref, out_res_ref, out_std_ref,
     *, H: int, W: int, iters: int, eps: float,
 ):
     for k in range(KPB):
@@ -117,6 +117,9 @@ def _lk_level_kernel(
             T = B[1:12, 1:12]
             gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
             gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
+            t_mean = jnp.mean(T)
+            t_std = jnp.sqrt(jnp.maximum(
+                jnp.mean(T * T) - t_mean * t_mean, 0.0))
 
             gxx = jnp.sum(gx * gx)
             gxy = jnp.sum(gx * gy)
@@ -166,6 +169,7 @@ def _lk_level_kernel(
             out_uv_ref[k, 1] = rv
             out_eig_ref[k, 0] = min_eig
             out_res_ref[k, 0] = res
+            out_std_ref[k, 0] = t_std
 
         @pl.when(valid_ref[k, 0] <= 0)
         def _dead_slot(k=k):
@@ -173,13 +177,14 @@ def _lk_level_kernel(
             out_uv_ref[k, 1] = seed_ref[k, 1]
             out_eig_ref[k, 0] = jnp.float32(0.0)
             out_res_ref[k, 0] = jnp.float32(1e9)
+            out_std_ref[k, 0] = jnp.float32(0.0)
 
 
 def _track_level_pallas(img0, img1, uv0, seed, valid, iters: int,
                         eps: float):
     """One pyramid level for all keypoints. img*: [H, W] f32;
     uv0/seed: [N, 2]; valid: [N] bool (dead slots are skipped in-kernel).
-    Returns (uv [N, 2], min_eig [N], residual [N])."""
+    Returns (uv [N, 2], min_eig [N], residual [N], t_std [N])."""
     # round image dims up to block/tile multiples so aligned dynamic slices
     # always have room for a full [BH, BW] block
     H0, W0 = img0.shape
@@ -194,7 +199,7 @@ def _track_level_pallas(img0, img1, uv0, seed, valid, iters: int,
         _lk_level_kernel, H=H, W=W, iters=iters, eps=eps)
     if N % KPB != 0:
         raise ValueError(f"keypoint count {N} must be a multiple of {KPB}")
-    uv, eig, res = pl.pallas_call(
+    uv, eig, res, std = pl.pallas_call(
         kernel,
         grid=(N // KPB,),
         in_specs=[
@@ -209,21 +214,23 @@ def _track_level_pallas(img0, img1, uv0, seed, valid, iters: int,
             pl.BlockSpec((KPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((KPB, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 2), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(uv0, seed, valid.astype(jnp.int32)[:, None], img0, img1)
-    return uv, eig[:, 0], res[:, 0]
+    return uv, eig[:, 0], res[:, 0], std[:, 0]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "half", "iters", "eps", "min_eig",
-                     "max_residual"),
+                     "max_residual", "rel_residual"),
 )
 def track(
     img0: jnp.ndarray,
@@ -238,9 +245,12 @@ def track(
     eps: float = 0.01,
     min_eig: float = 1e-3,
     max_residual: float = 12.0,
+    rel_residual: float = 0.5,
 ) -> FlowResult:
     """Drop-in replacement for lk.track backed by the Pallas kernel.
-    `half` is fixed at 5 (11x11 window) by the kernel layout."""
+    `half` is fixed at 5 (11x11 window) by the kernel layout. The residual
+    gate is contrast-normalized exactly like lk.track's (see its docstring
+    for the real-image measurements behind it)."""
     del half
     img0 = img0.astype(jnp.float32)
     img1 = img1.astype(jnp.float32)
@@ -252,9 +262,10 @@ def track(
     uv = uv_init / scale_top
     cond_all = jnp.ones(uv0.shape[0], bool)
     residual = jnp.zeros(uv0.shape[0], jnp.float32)
+    t_std = jnp.zeros(uv0.shape[0], jnp.float32)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
-        uv, eig, residual = _track_level_pallas(
+        uv, eig, residual, t_std = _track_level_pallas(
             pyr0[lvl], pyr1[lvl], uv0 / s, uv, mask, iters, eps)
         cond_all = cond_all & (eig > min_eig)
         if lvl > 0:
@@ -264,5 +275,6 @@ def track(
         (uv[:, 0] >= HALF) & (uv[:, 0] < W - HALF)
         & (uv[:, 1] >= HALF) & (uv[:, 1] < H - HALF)
     )
-    status = mask & cond_all & in_bounds & (residual < max_residual)
+    gate = jnp.maximum(max_residual, rel_residual * t_std)
+    status = mask & cond_all & in_bounds & (residual < gate)
     return FlowResult(uv=uv, status=status, residual=residual)
