@@ -28,6 +28,7 @@ else RESET -> reinitialize.
 from __future__ import annotations
 
 import enum
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -43,6 +44,9 @@ from ya_vo_tpu.features import brief, fast, matching
 from ya_vo_tpu.geometry import ransac
 from ya_vo_tpu.tracking import lk, pose_solver
 from ya_vo_tpu.worldmap.mapstore import MapStore
+
+
+_log = logging.getLogger("ya_vo_tpu.frontend")
 
 
 class VOStatus(enum.Enum):
@@ -494,6 +498,13 @@ class Frontend:
         T1_inv = np.asarray(lie.se3_inverse(jnp.asarray(T1)))
         pts_w = pts_c1 @ T1_inv[:3, :3].T + T1_inv[:3, 3]
 
+        # lifecycle: a bootstrap/reset deep into a long run must find room
+        if self.map.free_landmark_capacity < int(valid.sum()):
+            self.map.recycle_dead()
+        if self.map.n_keyframes + 2 > self.map.max_keyframes:
+            self.map.evict_oldest_keyframes(
+                max(2, self.map.max_keyframes // 4))
+
         lm_idx = self.map.add_landmarks(pts_w, valid)
         n_new = int((lm_idx >= 0).sum())
         info["n_new_landmarks"] = n_new
@@ -541,8 +552,9 @@ class Frontend:
         """
         t0 = time.perf_counter()
         # map-capacity guard for the in-jit landmark allocation (may be one
-        # frame stale in pipelined mode; only matters near a full map)
-        cap_left = max(0, self.map.max_landmarks - self.map.n_landmarks)
+        # frame stale in pipelined mode; only matters near a full map) —
+        # recycled free-list slots count as capacity
+        cap_left = self.map.free_landmark_capacity
         kp, desc, state_out, record = self._track_step(
             self._d_kf_img, img, self._d_anchor_uv, self._d_track_valid,
             self._d_lm_pos, self._d_pose, self._d_rel,
@@ -624,6 +636,13 @@ class Frontend:
             # points, src/LoopHandler.cc:850-855)
             old_lm = self.track_lm
             self.map.kill_landmarks(old_lm[flow_ok & ~inl])
+            # lifecycle: reclaim dead slots when the free pool runs low, and
+            # evict the oldest keyframe block when the ring fills — full-
+            # length sequences (KITTI 00 = 4,541 frames) would otherwise
+            # starve replenishment (round-1 MapStore was append-only)
+            if self.map.free_landmark_capacity < max(
+                    2 * n_new, self.map.max_landmarks // 8):
+                self.map.recycle_dead(protected=old_lm[keep])
             # replay the device-side table merge: new landmarks enter the
             # map in the same slot order the device assigned (dest/src)
             d, s = dest[:n_new], src[:n_new]
@@ -634,6 +653,13 @@ class Frontend:
             self.track_uv = np.array(anchor_o)
             self.track_valid = np.array(valid_o) & (new_lm >= 0)
             self.track_anchor_uv = self.track_uv.copy()
+            if self.map.n_keyframes >= self.map.max_keyframes:
+                self.map.evict_oldest_keyframes(
+                    max(1, self.map.max_keyframes // 4),
+                    protected_landmarks=new_lm[self.track_valid])
+                # keyframe slots shifted: any in-flight backend snapshot's
+                # slot indices are stale
+                self._session_epoch += 1
             self.map.insert_keyframe(
                 rec["frame_id"], self.last_pose,
                 self.track_uv, self.track_lm, self.track_valid)
@@ -693,7 +719,8 @@ class Frontend:
             self._ba_pending = dict(
                 fut=fut, slots=slots, used=used, n_real=n_real,
                 anchor_old=anchor_old, epoch=self._session_epoch,
-                n_kf=self.map.n_keyframes, n_lm=self.map.n_landmarks,
+                kf_stamp=self.map.kf_stamp_counter,
+                lm_stamp=self.map.lm_stamp_counter,
             )
         else:
             (new_poses, new_lms), ms = solve()
@@ -729,7 +756,13 @@ class Frontend:
         # 16k-landmark device->host pull per run)
         L_cap = bc.max_window_landmarks
         used = np.unique(lm_p[ok_p & (lm_p >= 0)])
-        used = used[self.map.landmark_alive[used]][:L_cap]
+        used = used[self.map.landmark_alive[used]]
+        if len(used) > L_cap:
+            _log.warning(
+                "window BA landmark cap: dropping %d of %d window landmarks "
+                "(max_window_landmarks=%d) — their observations are ignored "
+                "this solve", len(used) - L_cap, len(used), L_cap)
+            used = used[:L_cap]
         remap = np.full(self.map.max_landmarks, -1, np.int32)
         remap[used] = np.arange(len(used), dtype=np.int32)
         lm_compact = np.where(lm_p >= 0, remap[np.maximum(lm_p, 0)], -1)
@@ -751,8 +784,8 @@ class Frontend:
         return prob, slots, used, n_real
 
     def _apply_ba_result(self, new_poses, new_lms, slots, used, n_real,
-                         anchor_old, ms, n_kf_snap=None, n_lm_snap=None
-                         ) -> None:
+                         anchor_old, ms, kf_stamp_snap=None,
+                         lm_stamp_snap=None) -> None:
         new_poses = new_poses[:n_real]
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
@@ -765,7 +798,15 @@ class Frontend:
         # preserved while that keyframe's pose moves from anchor_old to its
         # optimized value (T_live' = T_live anchor_old^-1 anchor_new)
         self.map.update_keyframe_poses(slots, new_poses)
-        self.map.landmark_pos[used] = new_lms[: len(used)]
+        if lm_stamp_snap is not None:
+            # async apply: a `used` slot may have been killed + RECYCLED
+            # into a different landmark since the snapshot (stamp moved past
+            # the snapshot counter) — never write stale positions into it
+            same = (self.map.landmark_stamp[used] < lm_stamp_snap) \
+                & self.map.landmark_alive[used]
+            self.map.landmark_pos[used[same]] = new_lms[: len(used)][same]
+        else:
+            self.map.landmark_pos[used] = new_lms[: len(used)]
         anchor_new = new_poses[-1]
         corr = (np.linalg.inv(anchor_old) @ anchor_new).astype(np.float32)
 
@@ -773,15 +814,24 @@ class Frontend:
         # coordinate frame: move those keyframes (T' = T corr) and those
         # landmarks (X' = corr^-1 X as points) into the corrected frame,
         # else the map splits into two inconsistent segments and the next
-        # window diverges
-        if n_kf_snap is not None and self.map.n_keyframes > n_kf_snap:
-            sl = np.arange(n_kf_snap, self.map.n_keyframes)
-            self.map.kf_pose[sl] = self.map.kf_pose[sl] @ corr
-        if n_lm_snap is not None and self.map.n_landmarks > n_lm_snap:
-            inv_c = np.linalg.inv(corr)
-            pts = self.map.landmark_pos[n_lm_snap: self.map.n_landmarks]
-            self.map.landmark_pos[n_lm_snap: self.map.n_landmarks] = (
-                pts @ inv_c[:3, :3].T + inv_c[:3, 3])
+        # window diverges. Creation STAMPS (not slot ranges) identify them:
+        # slots are recycled/shifted under the map lifecycle.
+        if kf_stamp_snap is not None:
+            sl = np.nonzero(
+                self.map.kf_stamp[: self.map.n_keyframes] >= kf_stamp_snap
+            )[0]
+            if sl.size:
+                self.map.kf_pose[sl] = self.map.kf_pose[sl] @ corr
+        if lm_stamp_snap is not None:
+            hwm = self.map.n_landmarks
+            fresh = np.nonzero(
+                (self.map.landmark_stamp[:hwm] >= lm_stamp_snap)
+                & self.map.landmark_alive[:hwm])[0]
+            if fresh.size:
+                inv_c = np.linalg.inv(corr)
+                pts = self.map.landmark_pos[fresh]
+                self.map.landmark_pos[fresh] = (
+                    pts @ inv_c[:3, :3].T + inv_c[:3, 3])
 
         prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
         self.last_pose = (self.last_pose @ corr).astype(np.float32)
@@ -808,7 +858,8 @@ class Frontend:
             return
         self._apply_ba_result(
             new_poses, new_lms, p["slots"], p["used"], p["n_real"],
-            p["anchor_old"], ms, n_kf_snap=p["n_kf"], n_lm_snap=p["n_lm"])
+            p["anchor_old"], ms, kf_stamp_snap=p["kf_stamp"],
+            lm_stamp_snap=p["lm_stamp"])
 
     def finish(self) -> None:
         """Drain any in-flight backend work (end of sequence)."""

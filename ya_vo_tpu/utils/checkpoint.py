@@ -32,8 +32,13 @@ def save_frontend(fe, path: str) -> None:
         landmark_pos=m.landmark_pos[: m.n_landmarks],
         landmark_alive=m.landmark_alive[: m.n_landmarks],
         landmark_obs_count=m.landmark_obs_count[: m.n_landmarks],
+        landmark_stamp=m.landmark_stamp[: m.n_landmarks],
+        lm_free=np.asarray(m._free, np.int64),
+        lm_stamp_counter=np.int64(m.lm_stamp_counter),
+        kf_stamp_counter=np.int64(m.kf_stamp_counter),
         kf_pose=m.kf_pose[: m.n_keyframes],
         kf_frame_id=m.kf_frame_id[: m.n_keyframes],
+        kf_stamp=m.kf_stamp[: m.n_keyframes],
         kf_obs_uv=m.kf_obs_uv[: m.n_keyframes],
         kf_obs_lm=m.kf_obs_lm[: m.n_keyframes],
         kf_obs_valid=m.kf_obs_valid[: m.n_keyframes],
@@ -98,6 +103,18 @@ def load_frontend(fe, path: str) -> None:
     m.kf_obs_uv[:nk] = z["kf_obs_uv"]
     m.kf_obs_lm[:nk] = z["kf_obs_lm"]
     m.kf_obs_valid[:nk] = z["kf_obs_valid"]
+    if "landmark_stamp" in z:       # lifecycle state (round-2 checkpoints)
+        m.landmark_stamp[:nl] = z["landmark_stamp"]
+        m._free = [int(i) for i in z["lm_free"]]
+        m.lm_stamp_counter = int(z["lm_stamp_counter"])
+        m.kf_stamp_counter = int(z["kf_stamp_counter"])
+        m.kf_stamp[:nk] = z["kf_stamp"]
+    else:
+        m.landmark_stamp[:nl] = np.arange(nl)
+        m._free = []
+        m.lm_stamp_counter = nl
+        m.kf_stamp_counter = nk
+        m.kf_stamp[:nk] = np.arange(nk)
 
     if z["last_img"].size:
         import jax.numpy as jnp

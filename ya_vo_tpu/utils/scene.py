@@ -95,10 +95,15 @@ def make_texture(size: int = 2048, seed: int = 0,
     for y, x, h, w, v in zip(ys, xs, hs, ws, vals):
         tex[y:y + h, x:x + w] = v
 
-    # repeated band: the SAME 48x48 patch tiled along one strip
+    # repeated band: the SAME 48x48 patch tiled 12x in one strip — a
+    # realistic picket-fence/facade-window ambiguity. (A full-atlas-width
+    # band made ~30% of the visible ground identical tiles; LK then locks
+    # onto the wrong copy en masse — photometrically perfect, so only the
+    # pose solve can reject it — and the inlier gate trips. Real repeated
+    # texture exists at THIS scale, not that one.)
     patch = tex[:48, :48].copy()
     row = size - 64
-    for x in range(0, size - 48, 48):
+    for x in range(0, min(12 * 48, size - 48), 48):
         tex[row:row + 48, x:x + 48] = patch
 
     if photo is not None:

@@ -18,13 +18,32 @@ The active/passive split the reference scaffolds but never uses
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
 
+log = logging.getLogger("ya_vo_tpu.map")
+
 
 class MapStore:
-    """Fixed-capacity landmark + keyframe store with observation links."""
+    """Fixed-capacity landmark + keyframe store with observation links.
+
+    Lifecycle (absent in round 1, required for full-length sequences —
+    KITTI 00 is 4,541 frames): dead landmark slots are RECYCLED through a
+    free list (`recycle_dead`), and the oldest keyframes are EVICTED in
+    blocks when the ring fills (`evict_oldest_keyframes`). The reference
+    gets the landmark half implicitly via shared_ptr/weak_ptr expiry
+    (reference: include/MapPoint.hpp:10-28, weak_ptr obs lapse when frames
+    release their features) and never bounds keyframes at all (its Map
+    grows without limit, include/Map.hpp:29-34). Every capacity event here
+    is LOUD (logging), never a silent -1.
+
+    Creation stamps: each landmark/keyframe carries a monotonically
+    increasing stamp so "created after snapshot X" is well-defined even
+    when slots are recycled or shifted — the async-BA correction uses
+    stamps, not slot ranges.
+    """
 
     def __init__(self, max_landmarks: int = 16384, max_keyframes: int = 512,
                  max_obs_per_kf: int = 2048):
@@ -35,13 +54,21 @@ class MapStore:
         self.landmark_pos = np.zeros((max_landmarks, 3), np.float32)
         self.landmark_alive = np.zeros(max_landmarks, bool)
         self.landmark_obs_count = np.zeros(max_landmarks, np.int32)
-        self.n_landmarks = 0  # high-water mark (slots are append-only)
+        self.landmark_stamp = np.zeros(max_landmarks, np.int64)
+        self.n_landmarks = 0        # high-water mark of allocated slots
+        self._free = []             # recycled slot stack (below high-water)
+        self.lm_stamp_counter = 0   # monotonic creation stamp
+        self.n_recycled = 0         # lifetime counters (observability)
+        self.n_evicted_keyframes = 0
+        self.n_dropped_landmarks = 0  # add_landmarks truncations
 
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32),
                                (max_keyframes, 1, 1))
         self.kf_frame_id = np.full(max_keyframes, -1, np.int64)
         self.kf_valid = np.zeros(max_keyframes, bool)
+        self.kf_stamp = np.zeros(max_keyframes, np.int64)
         self.n_keyframes = 0
+        self.kf_stamp_counter = 0
 
         # per-keyframe observations: pixel + landmark link (-1 = none)
         self.kf_obs_uv = np.zeros((max_keyframes, max_obs_per_kf, 2),
@@ -51,34 +78,99 @@ class MapStore:
         self.kf_obs_valid = np.zeros((max_keyframes, max_obs_per_kf), bool)
 
     # -- landmarks --------------------------------------------------------
+    @property
+    def free_landmark_capacity(self) -> int:
+        """Slots available without recycling: fresh + free-listed."""
+        return self.max_landmarks - self.n_landmarks + len(self._free)
+
     def add_landmarks(self, positions: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        """Append `positions[mask]` as new landmarks.
+        """Insert `positions[mask]` as new landmarks, reusing recycled slots
+        first, then fresh slots up to capacity.
 
         Returns an int32 array shaped like `mask` with the assigned landmark
-        index per input row (-1 where masked off or capacity exhausted).
+        index per input row (-1 where masked off or capacity exhausted —
+        exhaustion is logged, never silent).
         """
         positions = np.asarray(positions, np.float32)
         mask = np.asarray(mask, bool)
         idx_out = np.full(mask.shape[0], -1, np.int32)
         sel = np.nonzero(mask)[0]
-        space = self.max_landmarks - self.n_landmarks
-        if space <= 0 or sel.size == 0:
+        if sel.size == 0:
             return idx_out
-        sel = sel[:space]
-        slots = np.arange(self.n_landmarks, self.n_landmarks + sel.size)
+        n_free = len(self._free)
+        space = self.max_landmarks - self.n_landmarks + n_free
+        if sel.size > space:
+            dropped = sel.size - space
+            self.n_dropped_landmarks += dropped
+            log.warning(
+                "landmark capacity exhausted: dropping %d of %d new "
+                "landmarks (hwm=%d free=%d cap=%d) — raise "
+                "MapConfig.max_landmarks or recycle more aggressively",
+                dropped, sel.size, self.n_landmarks, n_free,
+                self.max_landmarks)
+            sel = sel[:space]
+        n_reuse = min(n_free, sel.size)
+        slots = np.empty(sel.size, np.int64)
+        if n_reuse:
+            slots[:n_reuse] = self._free[-n_reuse:]
+            del self._free[-n_reuse:]
+        n_fresh = sel.size - n_reuse
+        if n_fresh:
+            slots[n_reuse:] = np.arange(self.n_landmarks,
+                                        self.n_landmarks + n_fresh)
+            self.n_landmarks += n_fresh
         self.landmark_pos[slots] = positions[sel]
         self.landmark_alive[slots] = True
         self.landmark_obs_count[slots] = 0
+        self.landmark_stamp[slots] = np.arange(
+            self.lm_stamp_counter, self.lm_stamp_counter + sel.size)
+        self.lm_stamp_counter += sel.size
         idx_out[sel] = slots.astype(np.int32)
-        self.n_landmarks += sel.size
         return idx_out
 
     def kill_landmarks(self, indices: np.ndarray) -> None:
         """Mark landmarks dead (reference drops outlier map points by
-        resetting the feature's weak_ptr, src/LoopHandler.cc:850-855)."""
+        resetting the feature's weak_ptr, src/LoopHandler.cc:850-855).
+        Dead slots become reusable after `recycle_dead` scrubs their
+        remaining keyframe observations."""
         indices = np.asarray(indices)
         valid = indices[(indices >= 0) & (indices < self.max_landmarks)]
         self.landmark_alive[valid] = False
+
+    def recycle_dead(self, protected: Optional[np.ndarray] = None) -> int:
+        """Reclaim dead landmark slots onto the free list.
+
+        Any keyframe observation still referencing a reclaimed slot is
+        scrubbed first (one vectorized lookup over the obs table) —
+        otherwise a reused slot would silently alias a new landmark into an
+        old keyframe's residuals. `protected` slots (e.g. the frontend's
+        live track table, which may still reference recently-killed
+        entries) are never reclaimed. Returns the number reclaimed.
+        """
+        hwm = self.n_landmarks
+        dead = ~self.landmark_alive[:hwm]
+        if len(self._free):
+            dead[np.asarray(self._free)] = False  # already on the free list
+        if protected is not None:
+            p = np.asarray(protected)
+            p = p[(p >= 0) & (p < hwm)]
+            dead[p] = False
+        slots = np.nonzero(dead)[0]
+        if slots.size == 0:
+            return 0
+        # scrub stale observations of the reclaimed slots
+        nk = self.n_keyframes
+        if nk:
+            reclaim = np.zeros(hwm + 1, bool)
+            reclaim[slots] = True
+            obs = self.kf_obs_lm[:nk]
+            stale = (obs >= 0) & (obs < hwm) & reclaim[np.clip(obs, 0, hwm)]
+            self.kf_obs_valid[:nk][stale] = False
+        self._free.extend(slots.tolist())
+        self.n_recycled += slots.size
+        log.info("recycled %d dead landmark slots (free=%d hwm=%d)",
+                 slots.size, len(self._free), self.n_landmarks)
+        return int(slots.size)
 
     def update_landmark_positions(self, indices: np.ndarray,
                                   positions: np.ndarray) -> None:
@@ -86,6 +178,48 @@ class MapStore:
         self.landmark_pos[indices[ok]] = positions[ok]
 
     # -- keyframes --------------------------------------------------------
+    def evict_oldest_keyframes(self, n: int,
+                               protected_landmarks: Optional[np.ndarray]
+                               = None) -> int:
+        """Drop the `n` oldest keyframes (block eviction, arrays shift left
+        so slot order stays chronological and monotonic between evictions).
+
+        Landmarks losing their last observation are killed — unless
+        `protected_landmarks` (the frontend's live track table) still uses
+        them. Callers holding keyframe SLOT indices across this call must
+        invalidate them (the frontend bumps its session epoch so in-flight
+        async BA is discarded). Returns the number evicted.
+        """
+        n = min(n, self.n_keyframes)
+        if n <= 0:
+            return 0
+        # release evicted observations
+        ev_valid = self.kf_obs_valid[:n]
+        ev_lm = self.kf_obs_lm[:n][ev_valid]
+        np.add.at(self.landmark_obs_count, ev_lm, -1)
+        orphan = np.zeros(self.max_landmarks, bool)
+        orphan[ev_lm] = True
+        orphan &= self.landmark_obs_count <= 0
+        if protected_landmarks is not None:
+            p = np.asarray(protected_landmarks)
+            p = p[(p >= 0) & (p < self.max_landmarks)]
+            orphan[p] = False
+        self.landmark_alive[orphan] = False
+
+        k = self.n_keyframes
+        for arr in (self.kf_pose, self.kf_frame_id, self.kf_valid,
+                    self.kf_stamp, self.kf_obs_uv, self.kf_obs_lm,
+                    self.kf_obs_valid):
+            arr[: k - n] = arr[n:k]
+        self.kf_valid[k - n: k] = False
+        self.kf_obs_valid[k - n: k] = False
+        self.n_keyframes = k - n
+        self.n_evicted_keyframes += n
+        log.info("evicted %d oldest keyframes (now %d/%d); %d landmarks "
+                 "orphaned", n, self.n_keyframes, self.max_keyframes,
+                 int(orphan.sum()))
+        return n
+
     def insert_keyframe(
         self, frame_id: int, pose_wc: np.ndarray,
         obs_uv: Optional[np.ndarray] = None,
@@ -93,15 +227,24 @@ class MapStore:
         obs_valid: Optional[np.ndarray] = None,
     ) -> int:
         """Insert a keyframe (reference Map::insertKeyFrame, src/Map.cc:9-23).
-        Returns the keyframe slot, or -1 when capacity is exhausted."""
+        Returns the keyframe slot, or -1 when capacity is exhausted (the
+        frontend evicts ahead of this; a -1 here is logged loudly)."""
         if self.n_keyframes >= self.max_keyframes:
+            log.warning("keyframe capacity exhausted (%d) — insert refused; "
+                        "caller should evict_oldest_keyframes first",
+                        self.max_keyframes)
             return -1
         k = self.n_keyframes
         self.kf_pose[k] = np.asarray(pose_wc, np.float32)
         self.kf_frame_id[k] = frame_id
         self.kf_valid[k] = True
+        self.kf_stamp[k] = self.kf_stamp_counter
+        self.kf_stamp_counter += 1
         if obs_uv is not None:
             n = min(len(obs_uv), self.max_obs_per_kf)
+            if len(obs_uv) > self.max_obs_per_kf:
+                log.warning("keyframe %d observations truncated %d -> %d",
+                            frame_id, len(obs_uv), self.max_obs_per_kf)
             self.kf_obs_uv[k, :n] = obs_uv[:n]
             self.kf_obs_lm[k, :n] = obs_lm[:n]
             ov = obs_valid[:n] if obs_valid is not None else np.ones(n, bool)
@@ -141,4 +284,8 @@ class MapStore:
             "n_landmarks": int(self.n_landmarks),
             "n_alive": int(self.landmark_alive.sum()),
             "n_keyframes": int(self.n_keyframes),
+            "n_free": len(self._free),
+            "n_recycled": int(self.n_recycled),
+            "n_evicted_keyframes": int(self.n_evicted_keyframes),
+            "n_dropped_landmarks": int(self.n_dropped_landmarks),
         }
