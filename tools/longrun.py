@@ -1,0 +1,82 @@
+"""Full-length sequence run: KITTI-00-scale (4,000+ frames) end-to-end on
+photoreal textured imagery, with map-lifecycle + accuracy reporting.
+
+The reference's target workload is KITTI odometry sequences of 1,000-4,541
+frames (reference: tests/LoopHandlerTest.cc:29-30 pins seq 00 = 4,541
+frames); round 1 never ran past 40. This script drives the full pipeline
+over an arbitrarily long procedurally generated street route and reports
+one JSON line: fps, resets, lifecycle counters (evictions / recycled slots
+/ dropped landmarks — the last must be 0), Sim(3) ATE and RPE.
+
+Usage: python tools/longrun.py [n_frames] [seed]
+"""
+
+from __future__ import annotations
+
+import json
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main(n_frames: int = 4000, seed: int = 11) -> dict:
+    import jax
+
+    from ya_vo_tpu.config import VOConfig
+    from ya_vo_tpu.tracking.frontend import Frontend
+    from ya_vo_tpu.utils.scene import TexturedSequence
+    from ya_vo_tpu.viz.evaluation import ate_rmse, rpe
+
+    # a route with straights and turns in both directions, cycled to length
+    segments = ((0.0, 220), (0.010, 40), (0.0, 180), (-0.012, 35),
+                (0.0, 260), (0.008, 55), (0.0, 150), (-0.009, 45))
+    seq = TexturedSequence(n_frames=n_frames, seed=seed, segments=segments,
+                           light_period=900.0)
+    cfg = VOConfig()
+    fe = Frontend(cfg, seq.cam)
+
+    # isolate render cost (it shares the device with the VO kernels)
+    f0 = seq.frame(0)
+    f0.block_until_ready()
+    t0 = time.perf_counter()
+    for f in range(1, 4):
+        seq.frame(f).block_until_ready()
+    render_ms = (time.perf_counter() - t0) / 3 * 1e3
+
+    t0 = time.perf_counter()
+    est = fe.run(seq, pipelined=True)
+    fe.finish()
+    wall = time.perf_counter() - t0
+
+    gt_cw = np.linalg.inv(seq.poses)
+    stats = fe.map.stats()
+    rpe_t, rpe_r = rpe(est, gt_cw, delta=10)
+    out = {
+        "n_frames": n_frames,
+        "backend": jax.default_backend(),
+        "fps_incl_render": round(n_frames / wall, 2),
+        "render_ms_per_frame": round(render_ms, 2),
+        "resets": fe.n_resets,
+        "keyframes": int(sum(r.is_keyframe for r in fe.results)),
+        "ba_runs": fe.n_ba_runs,
+        "ate_sim3_m": round(float(ate_rmse(est, gt_cw, with_scale=True)), 4),
+        "rpe10_rot_deg": round(rpe_r, 4),
+        "evicted_keyframes": stats["n_evicted_keyframes"],
+        "recycled_slots": stats["n_recycled"],
+        "dropped_landmarks": stats["n_dropped_landmarks"],
+        "landmark_hwm": stats["n_landmarks"],
+        "rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 11
+    main(n, s)

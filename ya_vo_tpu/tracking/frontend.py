@@ -106,6 +106,8 @@ class Frontend:
         self.trajectory: List[np.ndarray] = []
         self.results: List[FrameResult] = []
         self.n_resets = 0
+        self.n_relocalizations = 0
+        self._last_good_frame = -1   # newest frame that tracked/bootstrapped
         self._last_ba_ms = 0.0
         self.n_ba_runs = 0
         self._kf_ref_inliers = 0
@@ -446,6 +448,18 @@ class Frontend:
             self.last_pose = np.eye(4, dtype=np.float32)
             return FrameResult(self.frame_id, "INIT", self.last_pose.copy())
 
+        if self.map.n_keyframes > 0:
+            # a map exists (we are re-initializing after an outage, e.g.
+            # blackout frames whose descriptors matched nothing): prefer
+            # scale-consistent PnP relocalization against it over a fresh
+            # unit-scale bootstrap
+            reloc = self._relocalize(kp, desc)
+            if reloc is not None:
+                n_inl = self._apply_relocalization(kp, desc, reloc)
+                return FrameResult(
+                    self.frame_id, "TRACKING", self.last_pose.copy(),
+                    n_ba_inliers=n_inl, is_keyframe=True)
+
         ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=False)
         if ok:
             self.status = VOStatus.TRACKING
@@ -533,6 +547,7 @@ class Frontend:
         self.last_pose = T2
         self._kf_ref_inliers = n_new
         self._frames_since_kf = 0
+        self._last_good_frame = self.frame_id
         info["is_keyframe"] = True
         return True, info  # caller records keyframe context in process()
 
@@ -627,6 +642,7 @@ class Frontend:
         is_kf = bool(np.asarray(is_kf_d))
         n_new = int(np.asarray(n_new_d)) if is_kf else 0
         self._frames_since_kf += 1
+        self._last_good_frame = rec["frame_id"]
         if is_kf:
             keep, flow_ok, inl, dest, src, anchor_o, valid_o, r_pts = \
                 jax.device_get((keep_d, flow_ok_d, inl_d, dest_d, src_d,
@@ -868,12 +884,212 @@ class Frontend:
             self._poll_ba()
 
     # ------------------------------------------------------------------ #
+    def _relocalize(self, kp, desc):
+        """Scale-consistent recovery: solve the current pose by PnP against
+        the SURVIVING map instead of a fresh unit-scale two-view bootstrap.
+
+        Matches the current frame's descriptors against the anchor
+        keyframe's, lifts each match to 3-D through the track table (the
+        host mirrors hold the anchor keyframe's feature->landmark links —
+        LK failures since then never touched them), and runs the robust
+        pose GN. Success keeps the map, the trajectory, and crucially the
+        METRIC SCALE intact — the reference's reinitialize (src/
+        LoopHandler.cc:168-296) re-triangulates at unit scale, so every
+        reset there introduces an arbitrary scale jump into the trajectory.
+
+        Returns (pose, uv, lm_idx, inlier_mask, n_inliers) or None.
+        """
+        if self._kf_desc is None or self._kf_kp is None:
+            return None
+        mc = self.cfg.matching
+        tc = self.cfg.tracking
+        m = matching.match(
+            self._kf_desc, desc, self._kf_kp.mask, kp.mask,
+            abs_threshold=mc.abs_threshold, cross_check=mc.cross_check)
+        mmask = np.asarray(m.mask)
+        idx2 = np.asarray(m.idx2)
+        if mmask.sum() < 12:
+            _log.debug("relocalize: only %d descriptor matches", mmask.sum())
+            return None
+
+        # anchor-keyframe keypoint index -> track-table slot, by nearest
+        # anchor position. Slots NEWLY filled at the anchor keyframe sit
+        # exactly on FAST pixels, but KEPT slots were re-anchored at their
+        # LK-tracked subpixel positions — a corner FAST re-detects lands
+        # within a pixel or two of those, so associate by proximity.
+        kf_uv = np.asarray(self._kf_kp.uv)
+        live = self.track_valid & (self.track_lm >= 0)
+        live &= self.map.landmark_alive[np.maximum(self.track_lm, 0)]
+        cell = 8.0
+        r_assoc = 4.0
+        grid = {}
+        for j in np.nonzero(live)[0]:
+            a = self.track_anchor_uv[j]
+            grid.setdefault((int(a[0] // cell), int(a[1] // cell)),
+                            []).append(j)
+
+        def nearest_slot(u, v):
+            cu, cv = int(u // cell), int(v // cell)
+            best_j, best_d = None, r_assoc * r_assoc
+            for du in (-1, 0, 1):
+                for dv in (-1, 0, 1):
+                    for j in grid.get((cu + du, cv + dv), ()):
+                        a = self.track_anchor_uv[j]
+                        d = (a[0] - u) ** 2 + (a[1] - v) ** 2
+                        if d < best_d:
+                            best_j, best_d = j, d
+            return best_j
+
+        K_cap = self.cfg.features.max_keypoints
+        pts_w = np.zeros((K_cap, 3), np.float32)
+        uv_cur = np.zeros((K_cap, 2), np.float32)
+        lm_sel = np.full(K_cap, -1, np.int32)
+        n = 0
+        uv2 = np.asarray(kp.uv)
+        for i in np.nonzero(mmask)[0]:
+            j = nearest_slot(kf_uv[i, 0], kf_uv[i, 1])
+            if j is None:
+                continue
+            pts_w[n] = self.map.landmark_pos[self.track_lm[j]]
+            uv_cur[n] = uv2[idx2[i]]
+            lm_sel[n] = self.track_lm[j]
+            n += 1
+        # acceptance: a quarter of the tracking gate (PnP against known
+        # 3-D points is far better conditioned than two-view tracking; the
+        # chi2 gate inside the robust GN already rejects false poses, and
+        # the teleport test pins that a foreign scene cannot pass)
+        min_inl = max(15, tc.min_ba_inliers // 6)
+        if n < min_inl:
+            _log.debug("relocalize: %d of %d matches lift to 3-D (< %d)",
+                       n, int(mmask.sum()), min_inl)
+            return None
+
+        # prior candidates: the robust GN needs its starting reprojection
+        # inside the Huber/chi2 basin, but after a k-frame outage the last
+        # constant-velocity estimate is k steps stale — try extrapolations
+        # of the last good motion for several gap lengths plus pose-hold
+        gap = max(1, self.frame_id - self._last_good_frame)
+        obs_mask = jnp.asarray(np.arange(K_cap) < n)
+        pts_j, uv_j = jnp.asarray(pts_w), jnp.asarray(uv_cur)
+        best = None
+        for k in dict.fromkeys([gap, 1, 0, gap + 1]):
+            T_prior = np.linalg.matrix_power(
+                self.rel_motion, k).astype(np.float32) @ self.last_pose
+            solve = pose_solver.solve_pose(
+                jnp.asarray(T_prior), pts_j, uv_j, obs_mask, self.cam,
+                iters=tc.gn_rounds * tc.gn_iters_per_round,
+                huber_delta=tc.huber_delta,
+                chi2_threshold=tc.chi2_threshold)
+            n_inl = int(solve.n_inliers)
+            if best is None or n_inl > best[0]:
+                best = (n_inl, solve)
+            if n_inl >= max(2 * min_inl, int(0.6 * n)):
+                break  # confidently relocalized; stop probing priors
+        n_inl, solve = best
+        if n_inl < min_inl:
+            _log.debug("relocalize: PnP kept %d of %d correspondences "
+                       "(< %d)", n_inl, n, min_inl)
+            return None
+        # hand the full descriptor-match set back too: the caller
+        # re-triangulates it against the (now metric) recovered pose to
+        # refill the track table — the PnP inliers alone are too thin a
+        # seed set to survive the next frame's gates
+        mi = np.nonzero(mmask)[0]
+        return (np.asarray(solve.pose, np.float32), uv_cur, lm_sel,
+                np.asarray(solve.inlier_mask), n_inl,
+                (kf_uv[mi], uv2[idx2[mi]]))
+
+    def _apply_relocalization(self, kp, desc, reloc) -> int:
+        """Commit a successful PnP relocalization: pose, track table, anchor
+        keyframe context, keyframe insertion. Returns the inlier count.
+
+        The PnP inliers alone (often only 20-50 after an outage) cannot
+        carry tracking, so the rest of the descriptor matches between the
+        old anchor keyframe and this frame are RE-TRIANGULATED with the
+        recovered metric pose — a wide-baseline replenishment that refills
+        the track table at map scale."""
+        pose, uv_cur, lm_sel, inl, n_inl, (kf_uv_m, uv2_m) = reloc
+        self.n_relocalizations += 1
+        _log.info("frame %d: PnP relocalization with %d inliers "
+                  "(map scale preserved)", self.frame_id, n_inl)
+        old_kf_pose = self._kf_pose.copy()
+        prev_pose = self.trajectory[-1] if self.trajectory \
+            else self.last_pose
+        self.last_pose = pose
+        self.rel_motion = (
+            pose @ np.linalg.inv(prev_pose)).astype(np.float32)
+        self.track_uv = uv_cur.copy()
+        self.track_lm = lm_sel.copy()
+        self.track_valid = inl & (lm_sel >= 0)
+        self.track_anchor_uv = uv_cur.copy()
+
+        # --- refill: triangulate the remaining matches at metric scale ---
+        from ya_vo_tpu.geometry.triangulation import triangulate_fast
+
+        K_np = np.asarray(self.K)
+        P1 = jnp.asarray(K_np @ old_kf_pose[:3, :4])
+        P2 = jnp.asarray(K_np @ pose[:3, :4])
+        ok_m = np.ones(len(kf_uv_m), bool)
+        # skip matches that duplicate an accepted PnP correspondence
+        acc = uv_cur[self.track_valid]
+        if len(acc):
+            d2 = ((uv2_m[:, None, :] - acc[None, :, :]) ** 2).sum(-1)
+            ok_m &= d2.min(axis=1) > 144.0
+        pts, valid = triangulate_fast(
+            P1, P2, jnp.asarray(kf_uv_m), jnp.asarray(uv2_m),
+            jnp.asarray(ok_m))
+        pts, valid = np.asarray(pts), np.asarray(valid) & ok_m
+        free = np.nonzero(~self.track_valid)[0]
+        take = np.nonzero(valid)[0][: len(free)]
+        if take.size:
+            if self.map.free_landmark_capacity < take.size:
+                self.map.recycle_dead(
+                    protected=self.track_lm[self.track_valid])
+            ids = self.map.add_landmarks(pts[take],
+                                         np.ones(take.size, bool))
+            dst = free[: take.size][ids >= 0]
+            src = take[ids >= 0]
+            self.track_uv[dst] = uv2_m[src]
+            self.track_anchor_uv[dst] = uv2_m[src]
+            self.track_lm[dst] = ids[ids >= 0]
+            self.track_valid[dst] = True
+            _log.info("relocalization refill: %d fresh landmarks "
+                      "triangulated at metric scale", int(dst.size))
+        if self.map.n_keyframes >= self.map.max_keyframes:
+            self.map.evict_oldest_keyframes(
+                max(1, self.map.max_keyframes // 4),
+                protected_landmarks=self.track_lm[self.track_valid])
+        self.map.insert_keyframe(
+            self.frame_id, self.last_pose,
+            self.track_uv, self.track_lm, self.track_valid)
+        self._session_epoch += 1
+        self._state_dirty = True
+        self.status = VOStatus.TRACKING
+        self._kf_desc, self._kf_kp = desc, kp
+        self._kf_pose = self.last_pose.copy()
+        self._kf_ref_inliers = int(self.track_valid.sum())
+        self._frames_since_kf = 0
+        self._last_good_frame = self.frame_id
+        return n_inl
+
     def _reset(self, kp, desc, n_matches=0, n_flow=0, n_ba=0) -> FrameResult:
-        """Tracking failed: re-bootstrap from descriptors, chaining the new
-        (unit-scale) motion onto the last good pose (reference reinitialize,
-        src/LoopHandler.cc:168-296 — same scale caveat)."""
+        """Tracking failed: first try scale-consistent PnP relocalization
+        against the surviving map (`_relocalize`); only when that fails —
+        e.g. the camera genuinely sees a new scene after a blackout — fall
+        back to a fresh two-view bootstrap chained (at unit scale) onto the
+        last good pose, which is the reference's reinitialize semantics
+        (src/LoopHandler.cc:168-296, scale caveat and all)."""
         self.n_resets += 1
         self._state_dirty = True  # device chain holds the failed frame
+
+        reloc = self._relocalize(kp, desc)
+        if reloc is not None:
+            n_inl = self._apply_relocalization(kp, desc, reloc)
+            return FrameResult(
+                self.frame_id, "RESET", self.last_pose.copy(),
+                n_matches=n_matches, n_flow_inliers=n_flow,
+                n_ba_inliers=n_inl, reset=True, is_keyframe=True)
+
         ok, info = self._two_view_bootstrap(kp, desc, chain_on_last=True)
         if not ok:
             self.status = VOStatus.INIT
