@@ -27,12 +27,17 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 RESULTS = []
+_OUT = sys.stdout
+
+
+def _emit(obj):
+    print(json.dumps(obj), file=_OUT, flush=True)
 
 
 def report(name: str, ok: bool, **info):
     rec = {"check": name, "ok": bool(ok), **info}
     RESULTS.append(rec)
-    print(json.dumps(rec))
+    _emit(rec)
 
 
 def _test_frame():
@@ -231,11 +236,19 @@ def check_lk(img0, img1):
            if len(d) else 0.0)
 
 
-def main() -> int:
+def main(out=None) -> int:
+    """Run all checks; JSON lines go to `out` (default stdout).
+
+    `out` lets bench.py run this in-process and keep its own stdout to a
+    single JSON line."""
+    global _OUT
+    if out is not None:
+        _OUT = out
+    RESULTS.clear()
     import jax
 
-    print(json.dumps({"backend": jax.default_backend(),
-                      "devices": [str(d) for d in jax.devices()]}))
+    _emit({"backend": jax.default_backend(),
+           "devices": [str(d) for d in jax.devices()]})
     seq, img0, img1 = _test_frame()
     check_renderer(seq, img0)
     check_fast(img0)
@@ -243,8 +256,8 @@ def main() -> int:
     check_hamming(desc, np.asarray(kp.mask))
     check_lk(img0, img1)
     n_fail = sum(not r["ok"] for r in RESULTS)
-    print(json.dumps({"selfcheck": "PASS" if n_fail == 0 else "FAIL",
-                      "n_checks": len(RESULTS), "n_fail": n_fail}))
+    _emit({"selfcheck": "PASS" if n_fail == 0 else "FAIL",
+           "n_checks": len(RESULTS), "n_fail": n_fail})
     return 1 if n_fail else 0
 
 

@@ -321,17 +321,20 @@ def render_frame(
     One lax.scan over quads keeps memory at O(H*W).
     """
     H, W = height * ss, width * ss
+    # TPU MXU rounds matmul inputs to bf16 by default; ray directions and
+    # plane intersections need full f32 (selfcheck "renderer" catches this)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     R = pose_wc[:3, :3]
     t = pose_wc[:3, 3]
-    cw = -R.T @ t                                 # camera center, world
+    cw = -mm(R.T, t)                              # camera center, world
 
     vv, uu = jnp.meshgrid(
         (jnp.arange(H, dtype=jnp.float32) + 0.5) / ss - 0.5,
         (jnp.arange(W, dtype=jnp.float32) + 0.5) / ss - 0.5,
         indexing="ij")
     ones = jnp.ones_like(uu)
-    d_cam = jnp.stack([uu, vv, ones], -1) @ K_inv.T      # [H, W, 3]
-    d_w = d_cam @ R                                      # R^T @ d per pixel
+    d_cam = mm(jnp.stack([uu, vv, ones], -1), K_inv.T)   # [H, W, 3]
+    d_w = mm(d_cam, R)                                   # R^T @ d per pixel
 
     big = jnp.float32(1e9)
     init = (jnp.full((H, W), big),                       # best t
@@ -343,18 +346,18 @@ def render_frame(
         bt, ba, bb, brect, bden = carry
         o, v1, v2, rect, ok = q
         n = jnp.cross(v1, v2)
-        denom = d_w @ n                                  # [H, W]
+        denom = mm(d_w, n)                               # [H, W]
         denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-        tt = jnp.dot(o - cw, n) / denom
+        tt = jnp.dot(o - cw, n, precision=jax.lax.Precision.HIGHEST) / denom
         p = cw + tt[..., None] * d_w
         rel = p - o
-        a = (rel @ v1) / jnp.maximum(v1 @ v1, 1e-9)
-        b = (rel @ v2) / jnp.maximum(v2 @ v2, 1e-9)
+        a = mm(rel, v1) / jnp.maximum(jnp.dot(v1, v1), 1e-9)
+        b = mm(rel, v2) / jnp.maximum(jnp.dot(v2, v2), 1e-9)
         # depth along the camera axis must be positive (tt * d_cam_z = z)
         z = tt * d_cam[..., 2]
         good = (ok & (z > 0.2) & (tt < bt)
                 & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0))
-        den = rect[2] / jnp.sqrt(jnp.maximum(v1 @ v1, 1e-9))
+        den = rect[2] / jnp.sqrt(jnp.maximum(jnp.dot(v1, v1), 1e-9))
         bt = jnp.where(good, tt, bt)
         ba = jnp.where(good, a, ba)
         bb = jnp.where(good, b, bb)
