@@ -125,11 +125,20 @@ def main(argv=None):
         **fe.map.stats(),
     }
     if gt_cw is not None:
-        summary["ate_m"] = round(
+        # both alignments: Sim(3) hides global scale error, SE(3) shows it
+        summary["ate_sim3_m"] = round(
             evaluation.ate_rmse(traj, gt_cw, with_scale=True), 4)
+        summary["ate_se3_m"] = round(
+            evaluation.ate_rmse(traj, gt_cw, with_scale=False), 4)
         rpe_t, rpe_r = evaluation.rpe(traj, gt_cw)
         summary["rpe_trans_m"] = round(rpe_t, 4)
         summary["rpe_rot_deg"] = round(rpe_r, 4)
+        drift = evaluation.scale_drift(traj, gt_cw)
+        summary["scale_drift_rms_log"] = round(drift["rms_log"], 4)
+        seg_t, seg_r, n_seg = evaluation.kitti_segment_errors(traj, gt_cw)
+        if n_seg:
+            summary["kitti_t_err_pct"] = round(seg_t, 3)
+            summary["kitti_r_err_deg_per_m"] = round(seg_r, 5)
 
     if args.traj:
         from ya_vo_tpu.io.kitti import save_trajectory_kitti

@@ -26,7 +26,7 @@ def test_run_vo_synthetic(tmp_path, capsys):
     summary = json.loads(out)
     assert summary["frames"] == 8
     assert summary["resets"] == 0
-    assert summary["ate_m"] < 0.2
+    assert summary["ate_sim3_m"] < 0.2
     assert os.path.getsize(plot_path) > 1000
     assert os.path.exists(ckpt_path)
     rows = np.loadtxt(traj_path)

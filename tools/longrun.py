@@ -29,7 +29,8 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
     from ya_vo_tpu.config import VOConfig
     from ya_vo_tpu.tracking.frontend import Frontend
     from ya_vo_tpu.utils.scene import TexturedSequence
-    from ya_vo_tpu.viz.evaluation import ate_rmse, rpe
+    from ya_vo_tpu.viz.evaluation import (ate_rmse, kitti_segment_errors,
+                                          rpe, scale_drift)
 
     # a route with straights and turns in both directions, cycled to length
     segments = ((0.0, 220), (0.010, 40), (0.0, 180), (-0.012, 35),
@@ -64,7 +65,10 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
         "keyframes": int(sum(r.is_keyframe for r in fe.results)),
         "ba_runs": fe.n_ba_runs,
         "ate_sim3_m": round(float(ate_rmse(est, gt_cw, with_scale=True)), 4),
+        "ate_se3_m": round(float(ate_rmse(est, gt_cw, with_scale=False)), 4),
+        "rpe10_trans_m": round(rpe_t, 4),
         "rpe10_rot_deg": round(rpe_r, 4),
+        "scale_drift_rms_log": round(scale_drift(est, gt_cw)["rms_log"], 4),
         "evicted_keyframes": stats["n_evicted_keyframes"],
         "recycled_slots": stats["n_recycled"],
         "dropped_landmarks": stats["n_dropped_landmarks"],
@@ -72,6 +76,11 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
         "rss_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
     }
+    seg_t, seg_r, n_seg = kitti_segment_errors(est, gt_cw)
+    if n_seg:
+        out["kitti_t_err_pct"] = round(seg_t, 3)
+        out["kitti_r_err_deg_per_m"] = round(seg_r, 5)
+        out["kitti_n_segments"] = n_seg
     print(json.dumps(out))
     return out
 
