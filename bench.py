@@ -74,8 +74,7 @@ def main():
         pass
 
     from ya_vo_tpu.tracking.frontend import Frontend
-    from ya_vo_tpu.config import (VOConfig, TrackConfig, FeatureConfig,
-                                  BAConfig)
+    from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
     from ya_vo_tpu.utils import synthetic
 
     H, W = 376, 1241
@@ -89,9 +88,8 @@ def main():
         image_height=H, image_width=W,
         features=FeatureConfig(max_keypoints=2048),
         tracking=TrackConfig(min_ba_inliers=20, min_flow_inliers=5),
-        # backend BA on its own thread (the reference's two-thread split,
-        # src/main.cc:11-12, done for frontend+backend instead of viz)
-        ba=BAConfig(asynchronous=True),
+        # default config: backend BA async on its own thread (config.py
+        # BAConfig.asynchronous) — the bench measures what users get
     )
     fe = Frontend(cfg, cam)
 

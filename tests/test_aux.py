@@ -22,7 +22,7 @@ def test_checkpoint_resume_continues_tracking(tmp_path):
     imgs, poses_gt, lms, cam = synthetic.render_sequence(
         n_frames=10, n_landmarks=500, height=256, width=768,
         step=0.4, yaw_rate=0.004, seed=7)
-    cfg = make_config()
+    cfg = make_config(sync_ba=True)
 
     # run 6 frames, checkpoint, resume in a FRESH frontend, run the rest
     fe1 = Frontend(cfg, cam)

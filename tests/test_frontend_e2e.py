@@ -14,12 +14,19 @@ from ya_vo_tpu.utils import synthetic
 from ya_vo_tpu.viz import evaluation
 
 
-def make_config():
-    return VOConfig(
+def make_config(sync_ba: bool = False):
+    """sync_ba=True pins backend BA to the synchronous path — required by
+    the run-equality tests below (async BA applies results at thread-timing-
+    dependent frames, so two runs are not bit-comparable)."""
+    cfg = VOConfig(
         image_height=256, image_width=768,
         features=FeatureConfig(max_keypoints=1024),
         tracking=TrackConfig(min_ba_inliers=15, min_flow_inliers=5),
     )
+    if sync_ba:
+        cfg = dataclasses.replace(
+            cfg, ba=dataclasses.replace(cfg.ba, asynchronous=False))
+    return cfg
 
 
 @pytest.fixture(scope="module")
@@ -114,9 +121,9 @@ def test_pipelined_matches_sync_exactly(sequence):
     synchronous reference semantics — same trajectory, same keyframe
     cadence, same reset count."""
     imgs, *_, cam = sequence
-    fe_sync = Frontend(make_config(), cam)
+    fe_sync = Frontend(make_config(sync_ba=True), cam)
     traj_sync = fe_sync.run(imgs, pipelined=False)
-    fe_pipe = Frontend(make_config(), cam)
+    fe_pipe = Frontend(make_config(sync_ba=True), cam)
     traj_pipe = fe_pipe.run(imgs, pipelined=True)
     np.testing.assert_array_equal(traj_sync, traj_pipe)
     assert [r.is_keyframe for r in fe_sync.results] == \
@@ -131,14 +138,36 @@ def test_pipelined_matches_sync_through_reset(sequence):
     redo path must reproduce the synchronous reset recovery."""
     imgs, *_, cam = sequence
     corrupted = list(imgs[:6]) + [np.zeros_like(imgs[0])] * 2 + list(imgs[6:])
-    fe_sync = Frontend(make_config(), cam)
+    fe_sync = Frontend(make_config(sync_ba=True), cam)
     traj_sync = fe_sync.run(corrupted, pipelined=False)
-    fe_pipe = Frontend(make_config(), cam)
+    fe_pipe = Frontend(make_config(sync_ba=True), cam)
     traj_pipe = fe_pipe.run(corrupted, pipelined=True)
     np.testing.assert_array_equal(traj_sync, traj_pipe)
     assert fe_sync.n_resets == fe_pipe.n_resets
     assert [r.status for r in fe_sync.results] == \
         [r.status for r in fe_pipe.results]
+
+
+def test_async_ba_matches_sync_within_tolerance(sequence):
+    """Async backend BA (the default) must deliver the same accuracy as
+    the synchronous path — the round-1 instability (late first apply after
+    an in-sequence jit compile -> oversized correction) is fixed by init
+    precompile + staleness discard + deferred re-solve."""
+    imgs, poses_wc_gt, lms, cam = sequence
+    fe_a = Frontend(make_config(), cam)          # default: asynchronous
+    assert fe_a.cfg.ba.asynchronous
+    traj_a = fe_a.run(imgs)
+    fe_a.finish()
+    fe_s = Frontend(make_config(sync_ba=True), cam)
+    traj_s = fe_s.run(imgs)
+
+    gt_cw = poses_cam_to_world(poses_wc_gt)
+    ate_a = evaluation.ate_rmse(traj_a, gt_cw, with_scale=True)
+    ate_s = evaluation.ate_rmse(traj_s, gt_cw, with_scale=True)
+    assert ate_a < max(2.0 * ate_s, 0.05), (ate_a, ate_s)
+    # the deferred-relaunch machinery must not starve refinement
+    assert fe_a.n_ba_runs >= 1
+    assert fe_a.n_ba_discarded <= fe_a.n_ba_runs
 
 
 def test_reset_recovery_on_blackout(sequence):

@@ -112,11 +112,20 @@ class BAConfig:
     min_keyframes: int = 3             # don't run BA below this window fill
     every_n_keyframes: int = 2         # backend cadence
     max_window_landmarks: int = 4096   # compacted landmark capacity
-    # Run BA on a backend thread. EXPERIMENTAL: stable on short sequences,
-    # but correction feedback under accumulated drift can destabilize long
-    # runs (seen on the 40-frame synthetic bench); default off until the
-    # apply-time re-anchoring is made drift-proof.
-    asynchronous: bool = False
+    # Run BA on a backend thread (the reference's two-thread split,
+    # src/main.cc:11-12, applied to frontend+backend). Stability rests on
+    # three mechanisms in tracking/frontend.py: the solver is PRECOMPILED
+    # on the backend thread at init (a mid-sequence ~0.9 s jit compile once
+    # delayed an apply by 6 frames, whose oversized correction whiplashed
+    # the map — the round-1 "destabilizes long runs" bug), results staler
+    # than max_stale_keyframes are discarded, and a solve request arriving
+    # while one is in flight re-launches on completion with a fresh
+    # snapshot instead of being dropped.
+    asynchronous: bool = True
+    # Discard an async result if this many keyframes were created after its
+    # snapshot: the rigid post-hoc correction is only a good approximation
+    # near the solved window.
+    max_stale_keyframes: int = 4
 
 
 @dataclass(frozen=True)

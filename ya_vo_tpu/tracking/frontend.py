@@ -149,9 +149,17 @@ class Frontend:
         self._ba_executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ba-backend")
         self._ba_pending = None
+        self._ba_deferred = False
+        self.n_ba_discarded = 0
         self._session_epoch = 0
         # pipelined-run state: the one dispatched-but-unresolved frame
         self._pending = None
+        if self.cfg.ba.enabled and self.cfg.ba.asynchronous:
+            # compile the window solver NOW, off-thread: a ~0.9 s jit
+            # compile landing on the first mid-sequence solve delays that
+            # apply by several frames, and the oversized correction that
+            # follows can whiplash the map (round-1 async instability)
+            self._ba_executor.submit(self._precompile_window_ba)
 
     # ------------------------------------------------------------------ #
     def _build_extract(self):
@@ -696,18 +704,58 @@ class Frontend:
         )
 
     # ------------------------------------------------------------------ #
-    def _run_window_ba(self) -> None:
+    def _precompile_window_ba(self) -> None:
+        """Warm solve_window's jit cache with the production static shapes
+        (all-invalid observations; gauge pin + damping keep it finite).
+        Runs on the backend thread during sequence bootstrap."""
+        try:
+            import jax.numpy as jnp
+
+            from ya_vo_tpu.ba import window as ba_window
+
+            bc = self.cfg.ba
+            W = self.cfg.map.window_size
+            O = self.map.max_obs_per_kf
+            L = bc.max_window_landmarks
+            prob = ba_window.BAProblem(
+                poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (W, 1, 1)),
+                pose_valid=jnp.ones(W, bool),
+                landmarks=jnp.zeros((L, 3), jnp.float32),
+                lm_valid=jnp.zeros(L, bool),
+                obs_uv=jnp.zeros((W, O, 2), jnp.float32),
+                obs_lm=jnp.full((W, O), -1, jnp.int32),
+                obs_valid=jnp.zeros((W, O), bool),
+            )
+            res = ba_window.solve_window(
+                prob, self.cam, iters=bc.iters, huber_delta=bc.huber_delta,
+                damping=bc.damping, n_fixed_poses=2)
+            jax.block_until_ready(res.poses)
+        except Exception:
+            _log.exception("window-BA precompile failed (first real solve "
+                           "will compile inline instead)")
+
+    def _run_window_ba(self, force: bool = False) -> None:
         """Sliding-window BA over the active keyframe window (the windowed
         BA the reference scaffolds via Map's active sets but never built,
         SURVEY.md §2.3); refined poses/landmarks are written back to the
-        map, and the live pose follows the newest keyframe's correction."""
+        map, and the live pose follows the newest keyframe's correction.
+
+        force=True (deferred re-launch from _poll_ba) bypasses the
+        keyframe cadence."""
         bc = self.cfg.ba
         if not bc.enabled or self.map.n_keyframes < bc.min_keyframes:
             return
-        self._kf_since_ba += 1
-        if self._kf_since_ba < bc.every_n_keyframes:
+        if not force:
+            self._kf_since_ba += 1
+            if self._kf_since_ba < bc.every_n_keyframes:
+                return
+            self._kf_since_ba = 0
+        if bc.asynchronous and self._ba_pending is not None:
+            # one solve in flight at a time; relaunch on completion with a
+            # FRESH snapshot (round 1 silently dropped these windows,
+            # starving refinement whenever a solve spanned >1 keyframe)
+            self._ba_deferred = True
             return
-        self._kf_since_ba = 0
         from ya_vo_tpu.ba import window as ba_window
 
         job = self._build_window_problem()
@@ -729,8 +777,6 @@ class Frontend:
             # backend thread (the two-thread split the reference implements
             # with std::thread for VO+viewer, src/main.cc:11-12, here for
             # frontend+backend): tracking continues while GN runs
-            if self._ba_pending is not None:
-                return  # one in flight at a time
             fut = self._ba_executor.submit(solve)
             self._ba_pending = dict(
                 fut=fut, slots=slots, used=used, n_real=n_real,
@@ -806,6 +852,19 @@ class Frontend:
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
             return
+        if kf_stamp_snap is not None:
+            n_stale = self.map.kf_stamp_counter - kf_stamp_snap
+            if n_stale > self.cfg.ba.max_stale_keyframes:
+                # the rigid correction below is only a good approximation
+                # near the solved window; a result this stale does more
+                # harm than good (the deferred re-launch in _poll_ba will
+                # solve a fresh window immediately)
+                self.n_ba_discarded += 1
+                _log.warning(
+                    "discarding async BA result: %d keyframes created since "
+                    "its snapshot (max_stale_keyframes=%d)", n_stale,
+                    self.cfg.ba.max_stale_keyframes)
+                return
         self._last_ba_ms = ms
         self.n_ba_runs += 1
 
@@ -866,20 +925,24 @@ class Frontend:
         if not p["fut"].done():
             return
         self._ba_pending = None
-        if p["epoch"] != self._session_epoch:
-            return  # a reset invalidated the window snapshot
-        try:
-            (new_poses, new_lms), ms = p["fut"].result()
-        except Exception:
-            return
-        self._apply_ba_result(
-            new_poses, new_lms, p["slots"], p["used"], p["n_real"],
-            p["anchor_old"], ms, kf_stamp_snap=p["kf_stamp"],
-            lm_stamp_snap=p["lm_stamp"])
+        if p["epoch"] == self._session_epoch:
+            try:
+                (new_poses, new_lms), ms = p["fut"].result()
+            except Exception:
+                _log.exception("backend BA solve failed")
+            else:
+                self._apply_ba_result(
+                    new_poses, new_lms, p["slots"], p["used"], p["n_real"],
+                    p["anchor_old"], ms, kf_stamp_snap=p["kf_stamp"],
+                    lm_stamp_snap=p["lm_stamp"])
+        if self._ba_deferred:
+            self._ba_deferred = False
+            self._run_window_ba(force=True)
 
     def finish(self) -> None:
-        """Drain any in-flight backend work (end of sequence)."""
-        if self._ba_pending is not None:
+        """Drain in-flight backend work, including deferred re-launches
+        (end of sequence)."""
+        while self._ba_pending is not None:
             self._ba_pending["fut"].result()
             self._poll_ba()
 
