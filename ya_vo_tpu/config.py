@@ -82,11 +82,6 @@ class TrackConfig:
     keyframe_min_inlier_ratio: float = 0.5
     min_keyframe_gap: int = 1          # frames between keyframes unless
                                        # tracking is close to the failure gate
-    # replenished landmarks must reproject into both of their views within
-    # this many pixels — <= 0 disables (default: the pose-GN chi2 gate and
-    # window BA already police landmark quality; measured on the bench
-    # scene, any positive threshold starves replenishment without helping)
-    replenish_max_reproj: float = 0.0
     # parallax trigger: keyframe once the camera has translated this far
     # (map units; the two-view bootstrap fixes the unit) since the last
     # keyframe, even if inliers are healthy. Landmark DEPTH accuracy is set

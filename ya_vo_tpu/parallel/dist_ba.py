@@ -69,9 +69,13 @@ def from_window_problem(prob) -> DistBAProblem:
 
 
 def _shard_terms(poses, landmarks, lm_valid, obs_uv, obs_valid, cam: Camera,
-                 huber_delta: float):
+                 huber_delta: float, count_axis=None):
     """Per-observation terms in the landmark-major layout.
-    Shapes: r [L, W, 2], Jp [L, W, 2, 6], Jl [L, W, 2, 3], w [L, W]."""
+    Shapes: r [L, W, 2], Jp [L, W, 2, 6], Jl [L, W, 2, 3], w [L, W].
+
+    count_axis: mesh axis name to psum the per-landmark observation count
+    over, for callers whose local W axis is only a block of the window
+    (the 2-D kf x lm solver); None when the local W axis is complete."""
     R = poses[None, :, :3, :3]                    # [1, W, 3, 3]
     t = poses[None, :, :3, 3]
     X = landmarks[:, None, :]                     # [L, 1, 3]
@@ -83,7 +87,10 @@ def _shard_terms(poses, landmarks, lm_valid, obs_uv, obs_valid, cam: Camera,
     # a landmark needs >= 2 usable observations to be part of the problem:
     # with one, its position is unconstrained along the ray and its
     # (damped-singular) Hll^-1 corrupts the reduced camera system
-    valid = valid & (jnp.sum(valid, axis=1, keepdims=True) >= 2)
+    n_obs = jnp.sum(valid, axis=1, keepdims=True)
+    if count_axis is not None:
+        n_obs = jax.lax.psum(n_obs, count_axis)
+    valid = valid & (n_obs >= 2)
     z_safe = jnp.where(z < 1e-2, 1e-2, z)
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -253,3 +260,215 @@ def make_dist_solver(
                           prob.obs_uv, prob.obs_valid)
 
     return solve
+
+
+def make_dist_solver_2d(
+    mesh: Mesh,
+    cam: Camera,
+    *,
+    kf_axis: str = "kf",
+    lm_axis: str = "lm",
+    iters: int = 8,
+    huber_delta: float = 2.4477,
+    damping: float = 1e-4,
+):
+    """2-D distributed window BA: keyframe BLOCKS x landmark SHARDS.
+
+    The "map blocks over the mesh" layout (BASELINE.json north star): the
+    window's keyframe axis W is partitioned into Pk blocks and the landmark
+    axis L into Pl shards over a 2-D mesh (parallel/mesh.map_mesh). Each
+    device owns the observation TILE [L/Pl, W/Pk] — both Jacobian work and
+    observation storage scale 1/(Pk*Pl), which is what lets the window (and
+    eventually the whole map) outgrow one chip's HBM.
+
+    Per GN iteration, per device, the collectives are:
+      * psum over kf: per-landmark obs counts, Hll [Ls,3,3], bl [Ls,3]
+      * all_gather over kf: Wpl rows [Ls, W, 6, 3] (the dominant transfer —
+        it stays within a kf column of the mesh, i.e. one ICI ring)
+      * psum over lm + all_gather over kf: reduced camera rows -> S [W6,W6]
+      * replicated dense solve, local landmark back-substitution
+    `collective_bytes_per_iter` prices these exactly for the scaling bench.
+
+    Requires W % Pk == 0 and L % Pl == 0.
+    """
+    Pk, Pl = mesh.shape[kf_axis], mesh.shape[lm_axis]
+
+    def shard_body(poses, landmarks, lm_valid, obs_uv, obs_valid):
+        Wk = poses.shape[0]           # local keyframe block
+        W = Wk * Pk                   # global window
+        idx = jax.lax.axis_index(kf_axis)
+        col0 = idx * Wk               # this block's global column offset
+
+        def terms(poses_q, lms_q):
+            return _shard_terms(poses_q, lms_q, lm_valid, obs_uv, obs_valid,
+                                cam, huber_delta, count_axis=kf_axis)
+
+        def lm_cost_rows(poses_q, lms_q):
+            """Per-landmark robust cost over the FULL window row [Ls]."""
+            r_q, _, _, w_q, _ = terms(poses_q, lms_q)
+            chi2q = jnp.sum(r_q * r_q, axis=-1)
+            nq = jnp.sqrt(jnp.maximum(chi2q, 1e-12))
+            hc = jnp.where(nq <= huber_delta, 0.5 * chi2q,
+                           huber_delta * (nq - 0.5 * huber_delta))
+            local = jnp.sum(jnp.where(w_q > 0, hc, 0.0), axis=1)
+            return jax.lax.psum(local, kf_axis)
+
+        def gn_iter(_, state):
+            poses_i, lms_i = state
+            r, Jp, Jl, w, cost_prev_local = terms(poses_i, lms_i)
+            JpW = Jp * w[..., None, None]
+            # landmark system: exact over the window via psum on kf
+            Hll = jax.lax.psum(
+                jnp.einsum("lwik,lwim->lkm", Jl, Jl * w[..., None, None],
+                           preferred_element_type=jnp.float32), kf_axis)
+            bl = jax.lax.psum(
+                -jnp.einsum("lwik,lwi->lk", Jl * w[..., None, None], r,
+                            preferred_element_type=jnp.float32), kf_axis)
+            Hll_inv = jnp.linalg.inv(
+                Hll + damping * jnp.eye(3, dtype=Hll.dtype))
+
+            Wpl_own = jnp.einsum("lwik,lwim->lwkm", JpW, Jl,
+                                 preferred_element_type=jnp.float32)
+            # dominant collective: each landmark's pose-landmark coupling rows
+            # for the WHOLE window (rides one kf column of the mesh)
+            Wpl_full = jax.lax.all_gather(Wpl_own, kf_axis, axis=1,
+                                          tiled=True)     # [Ls, W, 6, 3]
+
+            # reduced camera system, rows for this kf block
+            Hpp = jnp.einsum("lwia,lwib->wab", Jp, JpW,
+                             preferred_element_type=jnp.float32)  # [Wk,6,6]
+            eyeWk = jnp.eye(Wk, dtype=r.dtype)
+            diag_rows = jnp.zeros((Wk, 6, W, 6), r.dtype)
+            diag_rows = jax.lax.dynamic_update_slice(
+                diag_rows, jnp.einsum("wv,wkl->wkvl", eyeWk, Hpp),
+                (0, 0, col0, 0))
+            S_off_rows = jnp.einsum("lwik,lkm,lvjm->wivj", Wpl_own, Hll_inv,
+                                    Wpl_full,
+                                    preferred_element_type=jnp.float32)
+            S_rows = jax.lax.psum(diag_rows - S_off_rows, lm_axis)
+            b_rows = jax.lax.psum(
+                -jnp.einsum("lwik,lwi->wk", JpW, r,
+                            preferred_element_type=jnp.float32)
+                - jnp.einsum("lwik,lkm,lm->wi", Wpl_own, Hll_inv, bl,
+                             preferred_element_type=jnp.float32), lm_axis)
+            S = jax.lax.all_gather(S_rows, kf_axis, axis=0,
+                                   tiled=True)             # [W, 6, W, 6]
+            b = jax.lax.all_gather(b_rows, kf_axis, axis=0, tiled=True)
+
+            # gauge + damping, replicated dense solve
+            pin = jnp.zeros((W,), S.dtype).at[0].set(1e8)
+            S = S + jnp.einsum("w,kl,wv->wkvl", pin,
+                               jnp.eye(6, dtype=S.dtype),
+                               jnp.eye(W, dtype=S.dtype))
+            S = S + damping * jnp.einsum(
+                "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype),
+                jnp.eye(6, dtype=S.dtype))
+            dxp = jnp.linalg.solve(
+                S.reshape(W * 6, W * 6), b.reshape(-1)).reshape(W, 6)
+            ok = jnp.all(jnp.isfinite(dxp))
+            dxp = jnp.where(ok, dxp, 0.0)
+            dxp = dxp.at[0].set(0.0)
+
+            # local landmark back-substitution (identical across a kf column
+            # — Wpl_full/bl/Hll_inv are, so lms stay consistent)
+            rhs = bl - jnp.einsum("lwik,wi->lk", Wpl_full, dxp,
+                                  preferred_element_type=jnp.float32)
+            dxl = jnp.einsum("lkm,lm->lk", Hll_inv, rhs,
+                             preferred_element_type=jnp.float32)
+            dxl = jnp.where(ok & lm_valid[:, None], dxl, 0.0)
+            dxl = jnp.clip(dxl, -5.0, 5.0)
+
+            dxp_own = jax.lax.dynamic_slice(dxp, (col0, 0), (Wk, 6))
+            new_poses = lie.se3_exp(dxp_own) @ poses_i
+            cand_lms = lms_i + dxl
+
+            lmA = lm_cost_rows(new_poses, cand_lms)
+            lmB = lm_cost_rows(new_poses, lms_i)
+            better = lmA <= lmB
+            new_lms = jnp.where(better[:, None], cand_lms, lms_i)
+            # lmA/lmB are full-window rows (already psum'd over kf): reduce
+            # over lm only; result is identical on every device
+            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)), lm_axis)
+
+            cost_prev = jax.lax.psum(cost_prev_local, (kf_axis, lm_axis))
+            accept = mixed_cost < cost_prev
+            poses_i = jnp.where(accept, new_poses, poses_i)
+            lms_i = jnp.where(accept, new_lms, lms_i)
+            return poses_i, lms_i
+
+        *_, cost0 = terms(poses, landmarks)
+        cost0 = jax.lax.psum(cost0, (kf_axis, lm_axis))
+        poses, landmarks = jax.lax.fori_loop(
+            0, iters, gn_iter, (poses, landmarks))
+        *_, cost1 = terms(poses, landmarks)
+        cost1 = jax.lax.psum(cost1, (kf_axis, lm_axis))
+        return poses, landmarks, cost0, cost1
+
+    # the replication checker can't see that landmark updates are identical
+    # across the kf axis (Wpl_full/Hll/bl all come out of kf collectives)
+    # and pose updates identical across lm — disable it (check_vma on new
+    # jax, check_rep on older)
+    kw = {}
+    try:
+        import inspect
+        params = inspect.signature(jax.shard_map).parameters
+        kw = {"check_vma": False} if "check_vma" in params else \
+             {"check_rep": False}
+    except (TypeError, ValueError):
+        kw = {"check_rep": False}
+    mapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(kf_axis), P(lm_axis), P(lm_axis),
+                  P(lm_axis, kf_axis), P(lm_axis, kf_axis)),
+        out_specs=(P(kf_axis), P(lm_axis), P(), P()),
+        **kw,
+    )
+
+    @jax.jit
+    def solve(prob: DistBAProblem):
+        with jax.default_matmul_precision("float32"):
+            return mapped(prob.poses, prob.landmarks, prob.lm_valid,
+                          prob.obs_uv, prob.obs_valid)
+
+    return solve
+
+
+def collective_bytes_per_iter(
+    W: int, L: int, n_kf: int = 1, n_lm: int = 1
+) -> dict:
+    """Logical collective payload per device per GN iteration, in bytes,
+    for the 1-D (n_kf=1) and 2-D solvers. Ring-algorithm wire traffic per
+    device is ~2(N-1)/N x payload for all-reduce and (N-1)/N x result for
+    all-gather; both factors are applied in `ring_bytes`. Lets the scaling
+    bench project ICI time on hardware the CI box doesn't have."""
+    f32 = 4
+    Ls = L // n_lm
+    Wk = W // n_kf
+
+    def ring_ar(payload, n):   # all-reduce, ring
+        return 2 * (n - 1) / max(n, 1) * payload
+
+    def ring_ag(result, n):    # all-gather, ring: receive the rest
+        return (n - 1) / max(n, 1) * result
+
+    if n_kf == 1:
+        psum_payload = (36 * W * W + 6 * W + 4) * f32    # S + b + scalars
+        return {
+            "psum_bytes": psum_payload,
+            "gather_bytes": 0,
+            "ring_bytes": ring_ar(psum_payload, n_lm),
+        }
+    # 2-D: per _shard_terms call there is an n_obs psum [Ls] (3 calls/iter)
+    psum_kf = (3 * Ls * f32                               # n_obs counts
+               + (9 + 3) * Ls * f32                       # Hll + bl
+               + 2 * Ls * f32)                            # lmA/lmB rows
+    psum_lm = (36 * Wk * W + 6 * W + 4) * f32             # S rows + b + costs
+    gather_kf = (Ls * W * 18 * f32                        # Wpl_full
+                 + (36 * W * W + 6 * W) * f32)            # S + b rows
+    return {
+        "psum_bytes": psum_kf + psum_lm,
+        "gather_bytes": gather_kf,
+        "ring_bytes": (ring_ar(psum_kf, n_kf) + ring_ar(psum_lm, n_lm)
+                       + ring_ag(gather_kf, n_kf)),
+    }

@@ -286,21 +286,15 @@ class Frontend:
                 (r_uv2[:, None, :] - new_track_uv[None, :, :]) ** 2, axis=-1)
             near = jnp.any((d2 < 144.0) & keep[None, :], axis=1)
             ok = ok & ~near
-            from ya_vo_tpu.geometry.triangulation import (
-                reprojection_errors, triangulate_fast)
+            from ya_vo_tpu.geometry.triangulation import triangulate_fast
             P1 = K @ kf_pose[:3, :4]
             P2 = K @ solve.pose[:3, :4]
             r_pts, r_valid = triangulate_fast(P1, P2, kf_uv, r_uv2, ok)
-            # reprojection gate: a fresh landmark must explain BOTH of its
-            # views to sub-pixel-ish accuracy, else its depth is noise that
-            # later frames' pose solves inherit (short-baseline DLT passes
-            # the algebraic quality gate long before it is geometrically
-            # trustworthy)
-            if tc.replenish_max_reproj > 0:
-                e1 = reprojection_errors(P1, r_pts, kf_uv)
-                e2 = reprojection_errors(P2, r_pts, r_uv2)
-                r_valid &= ((e1 < tc.replenish_max_reproj)
-                            & (e2 < tc.replenish_max_reproj))
+            # (a per-view reprojection gate on fresh landmarks was tried in
+            # round 1 and reverted, commit acd41b1: every threshold made the
+            # keyframe cadence chaotic and accuracy worse than no gate —
+            # triangulate_fast's algebraic quality gate is the one that
+            # stays)
             n_matches = jnp.sum(m.mask.astype(jnp.int32))
             n_kp = jnp.sum(kp.mask.astype(jnp.int32))
 
