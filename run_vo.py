@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--synthetic-frames", type=int, default=30)
     ap.add_argument("--synthetic-size", type=int, nargs=2, default=[376, 1241],
                     metavar=("H", "W"))
+    ap.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve a live trajectory/map view on "
+                         "http://127.0.0.1:PORT (0 = pick a free port)")
     args = ap.parse_args(argv)
 
     import jax
@@ -86,6 +89,12 @@ def main(argv=None):
         gt_cw = gt if gt is not None else None
 
     fe = Frontend(cfg, cam)
+    if args.live is not None:
+        from ya_vo_tpu.viz import live
+
+        viewer = live.attach(fe, port=args.live)
+        print(f"[run_vo] live view: http://127.0.0.1:{viewer.port}/",
+              file=sys.stderr)
     if args.resume:
         ckpt.load_frontend(fe, args.resume)
         print(f"[run_vo] resumed at frame {fe.frame_id}", file=sys.stderr)

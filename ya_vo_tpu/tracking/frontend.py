@@ -105,6 +105,11 @@ class Frontend:
 
         self.trajectory: List[np.ndarray] = []
         self.results: List[FrameResult] = []
+        # per-frame callbacks (result) -> None; e.g. viz.live.attach. Fired
+        # from _emit on both the sync and pipelined drivers — the analog of
+        # the reference's viz->addCurrentFrame calls (src/LoopHandler.cc:
+        # 86-90, :159-162)
+        self.observers: List = []
         self.n_resets = 0
         self.n_relocalizations = 0
         self._last_good_frame = -1   # newest frame that tracked/bootstrapped
@@ -402,6 +407,16 @@ class Frontend:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _emit(self, res: FrameResult) -> None:
+        """Record a finished frame and notify observers (never let a
+        viewer error kill tracking)."""
+        self.results.append(res)
+        for cb in self.observers:
+            try:
+                cb(res)
+            except Exception:
+                _log.exception("frame observer failed")
+
     # ------------------------------------------------------------------ #
     def process(self, img: np.ndarray) -> FrameResult:
         """Feed one grayscale frame (reference addFrame,
@@ -440,7 +455,7 @@ class Frontend:
         self.last_kp = kp
         self.last_desc = desc
         self.trajectory.append(self.last_pose.copy())
-        self.results.append(res)
+        self._emit(res)
         return res
 
     # ------------------------------------------------------------------ #
@@ -1258,7 +1273,7 @@ class Frontend:
                 # be REDONE below, so the host mirrors are authoritative
                 self._push_state_to_device()
             self.trajectory.append(self.last_pose.copy())
-            self.results.append(res)
+            self._emit(res)
         finally:
             self.frame_id = fid
 
@@ -1297,6 +1312,6 @@ class Frontend:
                     self.last_kp = redo["kp"]
                     self.last_desc = redo["desc"]
                     self.trajectory.append(self.last_pose.copy())
-                    self.results.append(res2)
+                    self._emit(res2)
                 finally:
                     self.frame_id = fid
