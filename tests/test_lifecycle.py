@@ -66,6 +66,35 @@ def test_capacity_exhaustion_is_loud_not_silent(caplog):
     assert any("capacity exhausted" in r.message for r in caplog.records)
 
 
+def test_retire_out_of_window_frees_unreachable_landmarks():
+    """Landmarks observed only by keyframes that left the BA window (and
+    not in the live track table) must be retired on capacity pressure —
+    the append-only alternative fills a 16k map after ~55 keyframes and
+    starves replenishment for the rest of a full-length sequence."""
+    m = MapStore(max_landmarks=64, max_keyframes=8, max_obs_per_kf=8)
+    idx = m.add_landmarks(_pts(16), np.ones(16, bool))
+    for k in range(4):
+        obs_lm = np.full(8, -1, np.int32)
+        obs_lm[:4] = idx[4 * k: 4 * k + 4]
+        m.insert_keyframe(k, np.eye(4), np.zeros((8, 2)), obs_lm,
+                          obs_lm >= 0)
+
+    # window = last 2 keyframes -> landmarks 0..7 are unreachable, except
+    # the protected one (live track table)
+    n = m.retire_out_of_window(2, protected=idx[0:1])
+    assert n == 7
+    assert m.landmark_alive[idx[0]]              # protected
+    assert not m.landmark_alive[idx[1:8]].any()  # retired
+    assert m.landmark_alive[idx[8:]].all()       # still in window
+    assert m.stats()["n_retired"] == 7
+
+    # after recycle, the slots are reusable and old obs are scrubbed
+    m.recycle_dead()
+    assert not m.kf_obs_valid[0, 1:4].any()
+    idx2 = m.add_landmarks(_pts(7, 2), np.ones(7, bool))
+    assert (idx2 >= 0).all() and m.n_landmarks == 16
+
+
 def test_keyframe_eviction_shifts_and_orphans():
     m = MapStore(max_landmarks=64, max_keyframes=4, max_obs_per_kf=8)
     idx = m.add_landmarks(_pts(12), np.ones(12, bool))
@@ -100,8 +129,15 @@ def test_long_textured_run_with_tiny_map_survives():
     from ya_vo_tpu.utils.scene import TexturedSequence
     from ya_vo_tpu.viz.evaluation import ate_rmse
 
+    import dataclasses
+
+    from ya_vo_tpu.config import BAConfig
+
+    # sync BA: lifecycle assertions must be deterministic on any host speed
+    # (async applies land at wall-clock-dependent frames)
     cfg = VOConfig(map=MapConfig(max_landmarks=2048, max_keyframes=16,
-                                 window_size=8))
+                                 window_size=8),
+                   ba=BAConfig(asynchronous=False))
     seq = TexturedSequence(n_frames=80, seed=4)
     fe = Frontend(cfg, seq.cam)
     est = fe.run(seq, pipelined=True)

@@ -13,6 +13,8 @@ unprovable under unit-scale resets.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -49,7 +51,14 @@ def test_blackout_reset_preserves_metric_scale():
             else:
                 yield seq.frame(f)
 
-    fe = Frontend(VOConfig(), seq.cam)
+    # sync BA: reset/relocalization behavior must be deterministic on any
+    # host speed (async applies are wall-clock-dependent; see
+    # test_frontend_e2e.py::test_async_ba_matches_sync_accuracy for the
+    # async-accuracy contract)
+    cfg = VOConfig()
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, asynchronous=False))
+    fe = Frontend(cfg, seq.cam)
     est = fe.run(frames(), pipelined=True)
     fe.finish()
 

@@ -100,12 +100,22 @@ def test_textured_e2e_no_resets_and_low_ate():
     """Full pipeline over 30 photoreal frames: perspective warp, occluding
     billboards, illumination drift, sensor noise. Must hold tracking with
     zero resets and sub-decimeter Sim(3)-aligned ATE."""
+    import dataclasses
+
     from ya_vo_tpu.config import VOConfig
     from ya_vo_tpu.tracking.frontend import Frontend
     from ya_vo_tpu.viz.evaluation import ate_rmse
 
     seq = scene.TexturedSequence(n_frames=30, seed=1)
-    fe = Frontend(VOConfig(), seq.cam)
+    # sync BA: this test asserts scene-robustness properties, which must be
+    # deterministic on any host speed. Async applies land at wall-clock-
+    # dependent frames (on slow CPU runners every result is stale and gets
+    # discarded); async-vs-sync accuracy has its own test
+    # (test_frontend_e2e.py::test_async_ba_matches_sync_accuracy).
+    cfg = VOConfig()
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, asynchronous=False))
+    fe = Frontend(cfg, seq.cam)
     est = fe.run(seq, pipelined=True)
     fe.finish()
     assert fe.n_resets == 0

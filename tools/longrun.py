@@ -69,8 +69,11 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
         "rpe10_trans_m": round(rpe_t, 4),
         "rpe10_rot_deg": round(rpe_r, 4),
         "scale_drift_rms_log": round(scale_drift(est, gt_cw)["rms_log"], 4),
+        "relocalizations": fe.n_relocalizations,
+        "ba_discarded": fe.n_ba_discarded,
         "evicted_keyframes": stats["n_evicted_keyframes"],
         "recycled_slots": stats["n_recycled"],
+        "retired_slots": stats["n_retired"],
         "dropped_landmarks": stats["n_dropped_landmarks"],
         "landmark_hwm": stats["n_landmarks"],
         "rss_mb": round(

@@ -531,6 +531,7 @@ class Frontend:
 
         # lifecycle: a bootstrap/reset deep into a long run must find room
         if self.map.free_landmark_capacity < int(valid.sum()):
+            self.map.retire_out_of_window(self.cfg.map.window_size)
             self.map.recycle_dead()
         if self.map.n_keyframes + 2 > self.map.max_keyframes:
             self.map.evict_oldest_keyframes(
@@ -675,6 +676,14 @@ class Frontend:
             # starve replenishment (round-1 MapStore was append-only)
             if self.map.free_landmark_capacity < max(
                     2 * n_new, self.map.max_landmarks // 8):
+                # escalating reclamation: first retire landmarks that left
+                # both the track table and the BA window (they can never
+                # contribute a residual again — without this the map fills
+                # after ~55 keyframes and replenishment starves for the
+                # rest of a full-length sequence), then sweep all dead
+                # slots onto the free list
+                self.map.retire_out_of_window(
+                    self.cfg.map.window_size, protected=old_lm[keep])
                 self.map.recycle_dead(protected=old_lm[keep])
             # replay the device-side table merge: new landmarks enter the
             # map in the same slot order the device assigned (dest/src)
@@ -873,6 +882,29 @@ class Frontend:
                     "discarding async BA result: %d keyframes created since "
                     "its snapshot (max_stale_keyframes=%d)", n_stale,
                     self.cfg.ba.max_stale_keyframes)
+                return
+            # whiplash gate: on a host where the solve takes many frames
+            # of wall-clock (e.g. the CPU test machines), the rigid
+            # re-anchoring below extrapolates an OLD correction onto a
+            # chain that has moved on — an oversized corr then yanks the
+            # live pose away from the LK templates and trips the inlier
+            # gates (observed: resets within 11 frames on a clean textured
+            # sequence). A healthy window correction is centimeters
+            # (~0.02-0.04 vs ~0.8 step length); anything approaching a full
+            # frame step is stale physics, not refinement.
+            corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
+            step = float(np.linalg.norm(self.rel_motion[:3, 3]))
+            t_corr = float(np.linalg.norm(corr_try[:3, 3]))
+            cosang = (np.trace(corr_try[:3, :3]) - 1.0) / 2.0
+            r_corr = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+            bc = self.cfg.ba
+            if (t_corr > bc.max_correction_steps * max(step, 1e-3)
+                    or r_corr > bc.max_correction_rot_deg):
+                self.n_ba_discarded += 1
+                _log.warning(
+                    "discarding async BA result: correction too large to "
+                    "apply post-hoc (|t|=%.3f vs step %.3f, rot=%.2f deg)",
+                    t_corr, step, r_corr)
                 return
         self._last_ba_ms = ms
         self.n_ba_runs += 1
@@ -1115,6 +1147,9 @@ class Frontend:
         take = np.nonzero(valid)[0][: len(free)]
         if take.size:
             if self.map.free_landmark_capacity < take.size:
+                self.map.retire_out_of_window(
+                    self.cfg.map.window_size,
+                    protected=self.track_lm[self.track_valid])
                 self.map.recycle_dead(
                     protected=self.track_lm[self.track_valid])
             ids = self.map.add_landmarks(pts[take],

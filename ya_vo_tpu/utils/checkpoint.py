@@ -13,6 +13,8 @@ import numpy as np
 
 
 def save_frontend(fe, path: str) -> None:
+    if hasattr(fe, "finish"):
+        fe.finish()  # drain in-flight backend BA: snapshot is consistent
     if hasattr(fe, "sync_host_state"):
         fe.sync_host_state()  # device-resident track table -> host mirrors
     m = fe.map

@@ -59,6 +59,7 @@ class MapStore:
         self._free = []             # recycled slot stack (below high-water)
         self.lm_stamp_counter = 0   # monotonic creation stamp
         self.n_recycled = 0         # lifetime counters (observability)
+        self.n_retired = 0          # out-of-window retirements
         self.n_evicted_keyframes = 0
         self.n_dropped_landmarks = 0  # add_landmarks truncations
 
@@ -171,6 +172,44 @@ class MapStore:
         log.info("recycled %d dead landmark slots (free=%d hwm=%d)",
                  slots.size, len(self._free), self.n_landmarks)
         return int(slots.size)
+
+    def retire_out_of_window(self, window: int,
+                             protected: Optional[np.ndarray] = None) -> int:
+        """Kill live landmarks that no keyframe in the last `window` observes
+        and that aren't `protected` (the frontend's live track table).
+
+        This is the VO (not SLAM) retention contract: once a landmark has
+        left both the live track table and the BA window it can never again
+        contribute a residual — tracking re-acquires structure by
+        triangulating fresh landmarks, and PnP relocalization matches
+        against the ANCHOR keyframe (inside the window). The reference gets
+        the same effect implicitly: its features hold weak_ptrs that lapse
+        once frames release them (reference: include/MapPoint.hpp:10-28).
+        Without retirement a 16k-slot map fills after ~55 keyframes and
+        replenishment starves for the rest of a 4,500-frame sequence
+        (observed: 1.06M dropped landmarks, 19 resets, ATE 856 m).
+
+        Returns the number retired. Call `recycle_dead` afterwards to move
+        the slots onto the free list (it also scrubs any old-keyframe
+        observations still referencing them).
+        """
+        k0 = max(0, self.n_keyframes - window)
+        keep = np.zeros(self.max_landmarks + 1, bool)
+        obs = self.kf_obs_lm[k0:self.n_keyframes]
+        keep[obs[self.kf_obs_valid[k0:self.n_keyframes]]] = True
+        if protected is not None:
+            p = np.asarray(protected)
+            keep[p[(p >= 0) & (p < self.max_landmarks)]] = True
+        hwm = self.n_landmarks
+        retire = self.landmark_alive[:hwm] & ~keep[:hwm]
+        idx = np.nonzero(retire)[0]
+        if idx.size:
+            self.landmark_alive[idx] = False
+            self.n_retired += idx.size
+            log.info("retired %d out-of-window landmarks (window=%d, "
+                     "alive now %d)", idx.size, window,
+                     int(self.landmark_alive.sum()))
+        return int(idx.size)
 
     def update_landmark_positions(self, indices: np.ndarray,
                                   positions: np.ndarray) -> None:
@@ -286,6 +325,7 @@ class MapStore:
             "n_keyframes": int(self.n_keyframes),
             "n_free": len(self._free),
             "n_recycled": int(self.n_recycled),
+            "n_retired": int(self.n_retired),
             "n_evicted_keyframes": int(self.n_evicted_keyframes),
             "n_dropped_landmarks": int(self.n_dropped_landmarks),
         }
