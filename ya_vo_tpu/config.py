@@ -121,14 +121,15 @@ class BAConfig:
     # snapshot: the rigid post-hoc correction is only a good approximation
     # near the solved window.
     max_stale_keyframes: int = 4
-    # Whiplash gate: discard an async result whose re-anchoring correction
+    # Divergence gate: discard an async result whose re-anchoring correction
     # exceeds this many per-frame step lengths in translation or this many
-    # degrees in rotation. Healthy window corrections are ~0.03-0.05 step
-    # lengths; a correction near a full step means the solve's snapshot is
-    # stale wall-clock-wise (slow host) and applying it rips the live pose
-    # away from the LK templates.
-    max_correction_steps: float = 1.5
-    max_correction_rot_deg: float = 3.0
+    # degrees in rotation. A rigid correction is SAFE to apply at any
+    # realistic size (the re-anchor moves the live pose, the post-snapshot
+    # chain and the fresh landmarks together; rel_motion is invariant), and
+    # corrections of a few step lengths are normal accumulated drift over a
+    # wide window — this gate only rejects clearly diverged solves.
+    max_correction_steps: float = 12.0
+    max_correction_rot_deg: float = 12.0
 
 
 @dataclass(frozen=True)

@@ -883,15 +883,11 @@ class Frontend:
                     "its snapshot (max_stale_keyframes=%d)", n_stale,
                     self.cfg.ba.max_stale_keyframes)
                 return
-            # whiplash gate: on a host where the solve takes many frames
-            # of wall-clock (e.g. the CPU test machines), the rigid
-            # re-anchoring below extrapolates an OLD correction onto a
-            # chain that has moved on — an oversized corr then yanks the
-            # live pose away from the LK templates and trips the inlier
-            # gates (observed: resets within 11 frames on a clean textured
-            # sequence). A healthy window correction is centimeters
-            # (~0.02-0.04 vs ~0.8 step length); anything approaching a full
-            # frame step is stale physics, not refinement.
+            # divergence gate: corrections of a few step lengths are normal
+            # accumulated drift over a wide window and are safe to apply
+            # (the re-anchor is rigid and rel_motion-invariant, see below);
+            # a correction of 10+ steps means the solve diverged and would
+            # teleport the map.
             corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
             step = float(np.linalg.norm(self.rel_motion[:3, 3]))
             t_corr = float(np.linalg.norm(corr_try[:3, 3]))
@@ -949,10 +945,15 @@ class Frontend:
                 self.map.landmark_pos[fresh] = (
                     pts @ inv_c[:3, :3].T + inv_c[:3, 3])
 
-        prev_pose = self.trajectory[-1] if self.trajectory else np.eye(4)
         self.last_pose = (self.last_pose @ corr).astype(np.float32)
-        self.rel_motion = (
-            self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
+        # rel_motion (the frame-to-frame velocity T_curr @ T_prev^-1) is
+        # INVARIANT under this rigid re-anchor: both endpoints move by the
+        # same right-multiplied corr, which cancels. Recomputing it against
+        # the stored (uncorrected) trajectory pose — as this code once did —
+        # injected the FULL correction into the next constant-velocity
+        # prediction: a meters-sized LK seed error whenever corr was
+        # nontrivial, which is exactly the apply-time whiplash that made
+        # async BA look "unstable on long runs".
         self._kf_pose = (self._kf_pose @ corr).astype(np.float32)
         # device landmark/pose state is now stale: rebuild before the next
         # dispatch (sync path) or redo the in-flight frame (pipelined path)
