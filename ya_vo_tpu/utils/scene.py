@@ -342,31 +342,62 @@ def render_frame(
             jnp.zeros((H, W, 4)),                        # best atlas rect
             jnp.zeros((H, W)))                           # best texel density
 
-    def hit_one(carry, q):
+    # quads are intersected in CHUNKS of 8, vectorized over the chunk, with
+    # the ray/plane algebra expanded to per-quad scalars so no [C, H, W, 3]
+    # intermediate exists: a 64-step scalar scan spent 32 ms/frame on
+    # sequential-step overhead; 8 vectorized steps cut that to a few ms.
+    CH = 8
+    Q = origin.shape[0]
+    pad_q = (-Q) % CH
+
+    def chunked(x, fill=0.0):
+        if pad_q:
+            x = jnp.concatenate(
+                [x, jnp.full((pad_q,) + x.shape[1:], fill, x.dtype)])
+        return x.reshape((-1, CH) + x.shape[1:])
+
+    def hit_chunk(carry, q):
         bt, ba, bb, brect, bden = carry
-        o, v1, v2, rect, ok = q
-        n = jnp.cross(v1, v2)
-        denom = mm(d_w, n)                               # [H, W]
+        o, v1, v2, rect, ok = q                          # [C, ...]
+        n = jnp.cross(v1, v2)                            # [C, 3]
+        hp = jax.lax.Precision.HIGHEST
+        denom = jnp.einsum("hwk,ck->chw", d_w, n, precision=hp)
         denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-        tt = jnp.dot(o - cw, n, precision=jax.lax.Precision.HIGHEST) / denom
-        p = cw + tt[..., None] * d_w
-        rel = p - o
-        a = mm(rel, v1) / jnp.maximum(jnp.dot(v1, v1), 1e-9)
-        b = mm(rel, v2) / jnp.maximum(jnp.dot(v2, v2), 1e-9)
-        # depth along the camera axis must be positive (tt * d_cam_z = z)
-        z = tt * d_cam[..., 2]
-        good = (ok & (z > 0.2) & (tt < bt)
+        on = jnp.einsum("ck,ck->c", o - cw, n, precision=hp)
+        tt = on[:, None, None] / denom                   # [C, H, W]
+        # a = ((cw - o + tt d_w) . v1) / |v1|^2, expanded so the per-pixel
+        # part is two einsums, not a [C, H, W, 3] point buffer
+        inv_v1 = 1.0 / jnp.maximum(jnp.einsum("ck,ck->c", v1, v1), 1e-9)
+        inv_v2 = 1.0 / jnp.maximum(jnp.einsum("ck,ck->c", v2, v2), 1e-9)
+        dv1 = jnp.einsum("hwk,ck->chw", d_w, v1, precision=hp)
+        dv2 = jnp.einsum("hwk,ck->chw", d_w, v2, precision=hp)
+        co1 = jnp.einsum("ck,ck->c", cw - o, v1, precision=hp)
+        co2 = jnp.einsum("ck,ck->c", cw - o, v2, precision=hp)
+        a = (co1[:, None, None] + tt * dv1) * inv_v1[:, None, None]
+        b = (co2[:, None, None] + tt * dv2) * inv_v2[:, None, None]
+        z = tt * d_cam[None, ..., 2]
+        good = (ok[:, None, None] & (z > 0.2)
                 & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0))
-        den = rect[2] / jnp.sqrt(jnp.maximum(jnp.dot(v1, v1), 1e-9))
-        bt = jnp.where(good, tt, bt)
-        ba = jnp.where(good, a, ba)
-        bb = jnp.where(good, b, bb)
-        brect = jnp.where(good[..., None], rect, brect)
-        bden = jnp.where(good, den, bden)
+        den = rect[:, 2] * jnp.sqrt(inv_v1)
+        # nearest hit within the chunk, then fold into the carry
+        tt_m = jnp.where(good, tt, big)
+        ci = jnp.argmin(tt_m, axis=0)                    # [H, W]
+        c_t = jnp.take_along_axis(tt_m, ci[None], axis=0)[0]
+        c_a = jnp.take_along_axis(a, ci[None], axis=0)[0]
+        c_b = jnp.take_along_axis(b, ci[None], axis=0)[0]
+        c_rect = rect[ci]                                # [H, W, 4]
+        c_den = den[ci]
+        win = c_t < bt
+        bt = jnp.where(win, c_t, bt)
+        ba = jnp.where(win, c_a, ba)
+        bb = jnp.where(win, c_b, bb)
+        brect = jnp.where(win[..., None], c_rect, brect)
+        bden = jnp.where(win, c_den, bden)
         return (bt, ba, bb, brect, bden), None
 
-    qs = (origin, e1, e2, atlas, valid)
-    (bt, ba, bb, brect, bden), _ = jax.lax.scan(hit_one, init, qs)
+    qs = (chunked(origin), chunked(e1), chunked(e2), chunked(atlas),
+          chunked(valid, fill=False))
+    (bt, ba, bb, brect, bden), _ = jax.lax.scan(hit_chunk, init, qs)
     hit = bt < big / 2
 
     # texture coords (level 0 texels) + lod from the texel footprint:
@@ -376,28 +407,41 @@ def render_frame(
     fx_eff = ss / K_inv[0, 0]
     lod = jnp.log2(jnp.maximum(bt * bden / fx_eff, 1e-6))
     lod = jnp.clip(lod, 0.0, len(mips) - 1.001)
-    l0 = jnp.floor(lod)
-    frac = lod - l0
+    l0i = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - l0i
+    l1i = jnp.minimum(l0i + 1, len(mips) - 1)
 
-    def sample_level(tex, scale):
-        S0, S1 = tex.shape
-        u = jnp.clip(tu * scale, 0.0, S1 - 1.001)
-        v = jnp.clip(tv * scale, 0.0, S0 - 1.001)
+    # trilinear mip sampling against ONE flattened texture: per pixel only
+    # the two adjacent levels matter, so gather 2 levels x 4 bilinear taps
+    # (8 big gathers) instead of sampling every level (20). TPU has no
+    # hardware gather — the taps dominate the renderer (measured 130 ms of
+    # 162 ms at 5 levels; this cuts them 2.5x).
+    sizes = np.array([m.shape[0] for m in mips], np.int32)
+    level_off = np.concatenate(
+        [[0], np.cumsum([m.size for m in mips])])[:-1].astype(np.int32)
+    flat_tex = jnp.concatenate([m.ravel() for m in mips])
+    sizes_d = jnp.asarray(sizes)
+    off_d = jnp.asarray(level_off)
+
+    def sample_dyn(li):
+        scale = jnp.exp2(-li.astype(jnp.float32))
+        S = sizes_d[li]                                  # [H, W] int32
+        Sf = S.astype(jnp.float32)
+        u = jnp.clip(tu * scale, 0.0, Sf - 1.001)
+        v = jnp.clip(tv * scale, 0.0, Sf - 1.001)
         u0 = jnp.floor(u).astype(jnp.int32)
         v0 = jnp.floor(v).astype(jnp.int32)
         fu = u - u0
         fv = v - v0
-        return (tex[v0, u0] * (1 - fu) * (1 - fv)
-                + tex[v0, u0 + 1] * fu * (1 - fv)
-                + tex[v0 + 1, u0] * (1 - fu) * fv
-                + tex[v0 + 1, u0 + 1] * fu * fv)
+        idx = off_d[li] + v0 * S + u0
+        t00 = jnp.take(flat_tex, idx)
+        t01 = jnp.take(flat_tex, idx + 1)
+        t10 = jnp.take(flat_tex, idx + S)
+        t11 = jnp.take(flat_tex, idx + S + 1)
+        return (t00 * (1 - fu) * (1 - fv) + t01 * fu * (1 - fv)
+                + t10 * (1 - fu) * fv + t11 * fu * fv)
 
-    val = jnp.zeros((H, W))
-    for li, tex in enumerate(mips):
-        s_li = sample_level(tex, 0.5 ** li)
-        w_li = jnp.clip(1.0 - jnp.abs(lod - li), 0.0, 1.0)
-        val = val + w_li * s_li
-    del frac, l0
+    val = (1.0 - frac) * sample_dyn(l0i) + frac * sample_dyn(l1i)
 
     # sky: smooth vertical gradient (nearly featureless, like real sky)
     elev = d_cam[..., 1]                                  # y down: sky is <0
