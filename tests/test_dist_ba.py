@@ -103,6 +103,55 @@ def test_2d_mesh_observation_tiles_sharded():
     assert lm_starts == {0, 64, 128, 192}
 
 
+def test_frontend_backend_uses_dist_solver():
+    """BAConfig.distributed="auto" must shard the LIVE pipeline's backend
+    solves over the mesh (round-2 verdict: the solver existed but the
+    frontend never called it), and the resulting trajectory must match the
+    single-device frontend within solver tolerance."""
+    import dataclasses
+
+    from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
+    from ya_vo_tpu.tracking.frontend import Frontend
+    from ya_vo_tpu.utils import synthetic
+    from ya_vo_tpu.viz import evaluation
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=14, n_landmarks=500, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7,
+    )
+
+    def cfg(distributed):
+        c = VOConfig(
+            image_height=256, image_width=768,
+            features=FeatureConfig(max_keypoints=1024),
+            tracking=TrackConfig(min_ba_inliers=15, min_flow_inliers=5),
+        )
+        return dataclasses.replace(c, ba=dataclasses.replace(
+            c.ba, asynchronous=False, distributed=distributed,
+            every_n_keyframes=1, max_window_landmarks=1024))
+
+    fe_d = Frontend(cfg("auto"), cam)
+    assert fe_d._dist_ba is not None, \
+        "8-device mesh present but backend did not shard"
+    traj_d = fe_d.run(imgs)
+    assert fe_d.n_ba_runs > 0, "no backend solve ever dispatched"
+    assert fe_d.n_resets == 0
+
+    fe_s = Frontend(cfg("off"), cam)
+    assert fe_s._dist_ba is None
+    traj_s = fe_s.run(imgs)
+    assert fe_s.n_ba_runs > 0
+
+    # both must track the ground truth; the two solvers differ only in
+    # reduction order + early-exit policy, so the trajectories agree to
+    # sub-centimeter
+    gt_cw = np.linalg.inv(poses_gt)
+    assert evaluation.ate_rmse(traj_d, gt_cw, with_scale=True) < 0.05
+    centers_d = -np.einsum("fij,fi->fj", traj_d[:, :3, :3], traj_d[:, :3, 3])
+    centers_s = -np.einsum("fij,fi->fj", traj_s[:, :3, :3], traj_s[:, :3, 3])
+    assert np.max(np.linalg.norm(centers_d - centers_s, axis=1)) < 0.01
+
+
 def test_collective_bytes_accounting():
     from ya_vo_tpu.parallel.dist_ba import collective_bytes_per_iter
 

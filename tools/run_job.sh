@@ -5,6 +5,14 @@ set -u
 JOB_SRC="$1"
 TIMEOUT="${2:-600}"
 JOB_DIR="${3:-/tmp/jobs}"
+
+# refuse to queue against a dead server (the job would just sit there)
+PIDFILE="$JOB_DIR/_devserver.pid"
+if [ ! -f "$PIDFILE" ] || ! kill -0 "$(awk '{print $1}' "$PIDFILE")" 2>/dev/null; then
+  echo "[run_job] no live devserver for $JOB_DIR (start: python tools/devserver.py $JOB_DIR &)"
+  exit 2
+fi
+
 STEM="job_$(date +%s%N)"
 cp "$JOB_SRC" "$JOB_DIR/$STEM.py"
 for ((i=0; i<TIMEOUT*5; i++)); do

@@ -34,6 +34,12 @@ def _emit(obj):
     print(json.dumps(obj), file=_OUT, flush=True)
 
 
+def _stage(name: str) -> None:
+    """Stderr heartbeat so a hang is attributable to a specific check
+    (round-2 verdict: the bench preamble must never fail silently)."""
+    print(f"[selfcheck] running: {name}", file=sys.stderr, flush=True)
+
+
 def report(name: str, ok: bool, **info):
     rec = {"check": name, "ok": bool(ok), **info}
     RESULTS.append(rec)
@@ -45,7 +51,13 @@ def _test_frame():
 
     from ya_vo_tpu.utils.scene import TexturedSequence
 
-    seq = TexturedSequence(n_frames=3, seed=5, noise_sigma=0.0)
+    # reduced world (tex 1024, 48 quads, 4 mips): parity doesn't depend on
+    # atlas size, and the smaller renderer compile + transfer keeps the
+    # whole selfcheck inside bench.py's subprocess timeout even when the
+    # tunnel is slow (full-size frames 376x1241 are kept — the FAST/LK
+    # checks should see bench-shaped images)
+    seq = TexturedSequence(n_frames=3, seed=5, noise_sigma=0.0,
+                           tex_size=1024, q_max=48, mip_levels=4)
     img0 = np.asarray(jax.device_get(seq.frame(0)))
     img1 = np.asarray(jax.device_get(seq.frame(1)))
     return seq, img0, img1
@@ -249,11 +261,17 @@ def main(out=None) -> int:
 
     _emit({"backend": jax.default_backend(),
            "devices": [str(d) for d in jax.devices()]})
+    _stage("render test frames")
     seq, img0, img1 = _test_frame()
+    _stage("renderer vs float64 numpy ray tracer")
     check_renderer(seq, img0)
+    _stage("fast_score_map pallas vs jnp")
     check_fast(img0)
+    _stage("brief determinism")
     kp, desc = check_brief(img0)
+    _stage("hamming matrix vs numpy popcount")
     check_hamming(desc, np.asarray(kp.mask))
+    _stage("lk pallas vs jnp")
     check_lk(img0, img1)
     n_fail = sum(not r["ok"] for r in RESULTS)
     _emit({"selfcheck": "PASS" if n_fail == 0 else "FAIL",

@@ -39,7 +39,6 @@ class MatchConfig:
     # keep if hamming < max(2*min_dist, abs_threshold)
     # (reference BriefDescriptor.cc:225, called with 20 at LoopHandler.cc:537)
     abs_threshold: int = 20
-    max_matches: int = 1024
     cross_check: bool = True           # mutual-best filter (reference is one-way)
 
 
@@ -121,6 +120,14 @@ class BAConfig:
     # snapshot: the rigid post-hoc correction is only a good approximation
     # near the solved window.
     max_stale_keyframes: int = 4
+    # Backend solver placement: "auto" shards the window's landmark axis
+    # over ALL visible devices (parallel/dist_ba.make_dist_solver — one
+    # psum of the reduced camera system per GN iteration, riding ICI) when
+    # more than one device is present and max_window_landmarks divides
+    # evenly; "off" always uses the single-device ba/window solver. The
+    # live-pipeline extension axis the reference never had (SURVEY.md §5
+    # "distributed backend": absent).
+    distributed: str = "auto"
     # Divergence gate: discard an async result whose re-anchoring correction
     # exceeds this many per-frame step lengths in translation or this many
     # degrees in rotation. A rigid correction is SAFE to apply at any

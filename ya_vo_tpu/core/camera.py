@@ -16,10 +16,18 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class Camera(NamedTuple):
-    """Pinhole intrinsics. Scalars (or broadcastable arrays) fx, fy, cx, cy."""
+    """Pinhole intrinsics. Scalars (or broadcastable arrays) fx, fy, cx, cy.
+
+    `create` stores HOST (numpy) scalars: jitted code consumes them as
+    pytree leaves exactly like device arrays, while host-side consumers
+    (`float(cam.fx)` in renderers/exporters) stay free of device->host
+    syncs — on the tunneled single-chip setup a first d2h can stall for
+    tens of seconds, which made host rendering non-deterministically slow.
+    """
 
     fx: jnp.ndarray
     fy: jnp.ndarray
@@ -29,20 +37,21 @@ class Camera(NamedTuple):
     @staticmethod
     def create(fx, fy, cx, cy, dtype=jnp.float32) -> "Camera":
         return Camera(
-            jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
-            jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            np.asarray(fx, dtype), np.asarray(fy, dtype),
+            np.asarray(cx, dtype), np.asarray(cy, dtype),
         )
 
     @property
     def K(self) -> jnp.ndarray:
-        """3x3 intrinsic matrix."""
-        z = jnp.zeros_like(self.fx)
-        o = jnp.ones_like(self.fx)
-        return jnp.stack(
+        """3x3 intrinsic matrix (host numpy outside jit, traced inside)."""
+        xp = np if isinstance(self.fx, (np.ndarray, float, int)) else jnp
+        z = xp.zeros_like(self.fx)
+        o = xp.ones_like(self.fx)
+        return xp.stack(
             [
-                jnp.stack([self.fx, z, self.cx], axis=-1),
-                jnp.stack([z, self.fy, self.cy], axis=-1),
-                jnp.stack([z, z, o], axis=-1),
+                xp.stack([self.fx, z, self.cx], axis=-1),
+                xp.stack([z, self.fy, self.cy], axis=-1),
+                xp.stack([z, z, o], axis=-1),
             ],
             axis=-2,
         )

@@ -138,12 +138,15 @@ def make_dist_solver(
     iters: int = 8,
     huber_delta: float = 2.4477,
     damping: float = 1e-4,
+    n_fixed_poses: int = 1,
 ):
     """Build a jitted distributed window-BA solver over `mesh`.
 
     Returns solve(problem) -> (poses [W,4,4], landmarks [L,3], cost0, cost1).
     The landmark axis of the problem must be divisible by the mesh size.
-    """
+    `n_fixed_poses` pins the gauge like ba/window.solve_window: one pose
+    fixes SE(3), a second also pins the monocular scale gauge (the live
+    backend uses 2 — see Frontend._run_window_ba)."""
 
     def shard_body(poses, landmarks, lm_valid, obs_uv, obs_valid):
         """Runs per-device on a landmark shard; poses replicated."""
@@ -191,7 +194,9 @@ def make_dist_solver(
             b = jax.lax.psum(b_part, axis)
 
             # gauge + damping, replicated dense solve
-            pin = jnp.zeros((W,), S.dtype).at[0].set(1e8)
+            pin = jnp.zeros((W,), S.dtype)
+            for i in range(n_fixed_poses):
+                pin = pin.at[i].set(1e8)
             S = S + jnp.einsum("w,kl,wv->wkvl", pin,
                                jnp.eye(6, dtype=S.dtype),
                                jnp.eye(W, dtype=S.dtype))
@@ -202,7 +207,8 @@ def make_dist_solver(
                 S.reshape(W * 6, W * 6), b.reshape(-1)).reshape(W, 6)
             ok = jnp.all(jnp.isfinite(dxp))
             dxp = jnp.where(ok, dxp, 0.0)
-            dxp = dxp.at[0].set(0.0)
+            for i in range(n_fixed_poses):  # hard gauge
+                dxp = dxp.at[i].set(0.0)
 
             # local landmark back-substitution
             rhs = bl - jnp.einsum("lwik,wi->lk", Wpl, dxp,
@@ -271,6 +277,7 @@ def make_dist_solver_2d(
     iters: int = 8,
     huber_delta: float = 2.4477,
     damping: float = 1e-4,
+    n_fixed_poses: int = 1,
 ):
     """2-D distributed window BA: keyframe BLOCKS x landmark SHARDS.
 
@@ -356,7 +363,9 @@ def make_dist_solver_2d(
             b = jax.lax.all_gather(b_rows, kf_axis, axis=0, tiled=True)
 
             # gauge + damping, replicated dense solve
-            pin = jnp.zeros((W,), S.dtype).at[0].set(1e8)
+            pin = jnp.zeros((W,), S.dtype)
+            for i in range(n_fixed_poses):
+                pin = pin.at[i].set(1e8)
             S = S + jnp.einsum("w,kl,wv->wkvl", pin,
                                jnp.eye(6, dtype=S.dtype),
                                jnp.eye(W, dtype=S.dtype))
@@ -367,7 +376,8 @@ def make_dist_solver_2d(
                 S.reshape(W * 6, W * 6), b.reshape(-1)).reshape(W, 6)
             ok = jnp.all(jnp.isfinite(dxp))
             dxp = jnp.where(ok, dxp, 0.0)
-            dxp = dxp.at[0].set(0.0)
+            for i in range(n_fixed_poses):  # hard gauge
+                dxp = dxp.at[i].set(0.0)
 
             # local landmark back-substitution (identical across a kf column
             # — Wpl_full/bl/Hll_inv are, so lms stay consistent)

@@ -76,10 +76,34 @@ def init_multihost(
         )
         return
     import os
-    # managed launchers export one of these; bare single-host runs do not
-    if any(k in os.environ for k in
-           ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES")):
-        jax.distributed.initialize()
+    # Auto-init ONLY on actual multi-process evidence. SLURM_JOB_ID alone
+    # is not evidence: a 1-task dev shell inside any SLURM allocation would
+    # otherwise attempt cluster auto-detection and hang waiting for a
+    # coordinator, where this function promises a single-host no-op.
+    env = os.environ
+
+    def _int(k):
+        try:
+            return int(env.get(k, "0"))
+        except ValueError:
+            return 0
+
+    multiproc = (
+        "COORDINATOR_ADDRESS" in env
+        or "TPU_WORKER_HOSTNAMES" in env
+        or _int("SLURM_NTASKS") > 1
+        or _int("SLURM_NPROCS") > 1
+    )
+    if multiproc:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            # fall back to single-process rather than crash a run whose
+            # cluster env was merely inherited, not real
+            import logging
+            logging.getLogger("ya_vo_tpu.parallel").warning(
+                "jax.distributed.initialize() failed (%s); continuing "
+                "single-process", e)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -75,6 +75,13 @@ class FrameResult:
 
 class Frontend:
     def __init__(self, config: VOConfig, cam: Camera):
+        if config.camera_type != "mono":
+            # the reference's stereo flag is vestigial (right-image path
+            # handling dead, reference src/LoopHandler.cc:17-24); reject
+            # explicitly instead of silently tracking mono
+            raise ValueError(
+                f"camera_type={config.camera_type!r} unsupported: this "
+                f"pipeline is monocular (like the reference's live path)")
         self.cfg = config
         self.cam = cam
         self.K = jnp.asarray(np.asarray(cam.K), jnp.float32)
@@ -156,9 +163,28 @@ class Frontend:
         self._ba_pending = None
         self._ba_deferred = False
         self.n_ba_discarded = 0
+        # staleness backoff: on a slow host every solve can take longer
+        # than max_stale_keyframes of tracking, so every result would be
+        # discarded and the backend busy-loop on futile solves with BA
+        # silently never applied. After consecutive staleness discards the
+        # effective staleness window WIDENS (loudly) so slow hosts degrade
+        # to visible late-but-applied refinement instead of zero refinement.
+        self._consec_stale_discards = 0
+        self._stale_relax = 0
+        # recent per-frame translation step lengths (running median feeds
+        # the BA divergence gate: the instantaneous step collapses to ~0
+        # when the camera is stationary, which made the gate discard
+        # healthy corrections exactly while the vehicle was stopped)
+        from collections import deque
+        self._recent_steps = deque(maxlen=20)
         self._session_epoch = 0
         # pipelined-run state: the one dispatched-but-unresolved frame
         self._pending = None
+        # distributed backend: shard the window's landmark axis over the
+        # visible devices (BAConfig.distributed). (solve_fn, mesh) or None.
+        self._dist_ba = None
+        if self.cfg.ba.enabled and self.cfg.ba.distributed != "off":
+            self._maybe_build_dist_ba()
         if self.cfg.ba.enabled and self.cfg.ba.asynchronous:
             # compile the window solver NOW, off-thread: a ~0.9 s jit
             # compile landing on the first mid-sequence solve delays that
@@ -509,6 +535,7 @@ class Frontend:
         tv = ransac.estimate_two_view(
             uv1, uv2, m.mask, self.K, self._next_key(),
             n_hypotheses=rc.n_hypotheses,
+            sample_size=rc.sample_size,
             inlier_threshold_px=rc.inlier_threshold_px,
         )
         n_inl = int(tv.n_inliers)
@@ -656,6 +683,8 @@ class Frontend:
         self.last_pose = np.asarray(pose_d, np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
+        self._recent_steps.append(
+            float(np.linalg.norm(self.rel_motion[:3, 3])))
 
         is_kf = bool(np.asarray(is_kf_d))
         n_new = int(np.asarray(n_new_d)) if is_kf else 0
@@ -722,6 +751,51 @@ class Frontend:
         )
 
     # ------------------------------------------------------------------ #
+    def _maybe_build_dist_ba(self) -> None:
+        """Build the landmark-sharded window solver when the host has more
+        than one device (BAConfig.distributed="auto"). The per-iteration
+        cross-device traffic is one psum of the reduced camera system
+        (O((6W)^2) floats) riding ICI — parallel/dist_ba module docstring.
+        Falls back silently to the single-device solver otherwise."""
+        bc = self.cfg.ba
+        try:
+            n_dev = len(jax.devices())
+        except Exception:
+            return
+        if n_dev < 2 or bc.max_window_landmarks % n_dev != 0:
+            return
+        from ya_vo_tpu.parallel import dist_ba
+        from ya_vo_tpu.parallel import mesh as mesh_lib
+
+        m = mesh_lib.landmark_mesh()
+        solve = dist_ba.make_dist_solver(
+            m, self.cam, iters=bc.iters, huber_delta=bc.huber_delta,
+            damping=bc.damping, n_fixed_poses=2)
+        self._dist_ba = (solve, m)
+        _log.info("backend BA: window landmark axis sharded over %d devices "
+                  "(BAConfig.distributed=%s)", n_dev, bc.distributed)
+
+    def _solve_window_distributed(self, prob):
+        """Run one window solve on the device mesh: convert the keyframe-
+        major snapshot to the landmark-major layout, shard the landmark
+        axis, solve, return (poses, landmarks) device arrays."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ya_vo_tpu.parallel import dist_ba
+
+        solve, m = self._dist_ba
+        dprob = dist_ba.from_window_problem(prob)
+        shard = NamedSharding(m, P("lm"))
+        dprob = dist_ba.DistBAProblem(
+            poses=dprob.poses,
+            landmarks=jax.device_put(dprob.landmarks, shard),
+            lm_valid=jax.device_put(dprob.lm_valid, shard),
+            obs_uv=jax.device_put(dprob.obs_uv, shard),
+            obs_valid=jax.device_put(dprob.obs_valid, shard),
+        )
+        poses_o, lms_o, _c0, _c1 = solve(dprob)
+        return poses_o, lms_o
+
     def _precompile_window_ba(self) -> None:
         """Warm solve_window's jit cache with the production static shapes
         (all-invalid observations; gauge pin + damping keep it finite).
@@ -744,10 +818,15 @@ class Frontend:
                 obs_lm=jnp.full((W, O), -1, jnp.int32),
                 obs_valid=jnp.zeros((W, O), bool),
             )
-            res = ba_window.solve_window(
-                prob, self.cam, iters=bc.iters, huber_delta=bc.huber_delta,
-                damping=bc.damping, n_fixed_poses=2)
-            jax.block_until_ready(res.poses)
+            if self._dist_ba is not None:
+                poses_o, _ = self._solve_window_distributed(prob)
+                jax.block_until_ready(poses_o)
+            else:
+                res = ba_window.solve_window(
+                    prob, self.cam, iters=bc.iters,
+                    huber_delta=bc.huber_delta,
+                    damping=bc.damping, n_fixed_poses=2)
+                jax.block_until_ready(res.poses)
         except Exception:
             _log.exception("window-BA precompile failed (first real solve "
                            "will compile inline instead)")
@@ -784,11 +863,15 @@ class Frontend:
 
         def solve():
             t0 = time.perf_counter()
-            res = ba_window.solve_window(
-                prob, self.cam, iters=bc.iters,
-                huber_delta=bc.huber_delta, damping=bc.damping,
-                n_fixed_poses=2)
-            out = jax.device_get((res.poses, res.landmarks))
+            if self._dist_ba is not None:
+                poses_o, lms_o = self._solve_window_distributed(prob)
+            else:
+                res = ba_window.solve_window(
+                    prob, self.cam, iters=bc.iters,
+                    huber_delta=bc.huber_delta, damping=bc.damping,
+                    n_fixed_poses=2)
+                poses_o, lms_o = res.poses, res.landmarks
+            out = jax.device_get((poses_o, lms_o))
             return out, (time.perf_counter() - t0) * 1e3
 
         if bc.asynchronous:
@@ -872,24 +955,46 @@ class Frontend:
             return
         if kf_stamp_snap is not None:
             n_stale = self.map.kf_stamp_counter - kf_stamp_snap
-            if n_stale > self.cfg.ba.max_stale_keyframes:
+            stale_limit = self.cfg.ba.max_stale_keyframes + self._stale_relax
+            if n_stale > stale_limit:
                 # the rigid correction below is only a good approximation
                 # near the solved window; a result this stale does more
                 # harm than good (the deferred re-launch in _poll_ba will
                 # solve a fresh window immediately)
                 self.n_ba_discarded += 1
+                self._consec_stale_discards += 1
                 _log.warning(
                     "discarding async BA result: %d keyframes created since "
-                    "its snapshot (max_stale_keyframes=%d)", n_stale,
-                    self.cfg.ba.max_stale_keyframes)
+                    "its snapshot (limit=%d)", n_stale, stale_limit)
+                if self._consec_stale_discards >= 3:
+                    # slow-host backoff: every solve is outliving the window
+                    self._stale_relax += self.cfg.ba.max_stale_keyframes
+                    self._consec_stale_discards = 0
+                    _log.warning(
+                        "async BA: 3 consecutive staleness discards — this "
+                        "host solves slower than tracking creates keyframes; "
+                        "widening the staleness window to %d so refinement "
+                        "applies late instead of never",
+                        self.cfg.ba.max_stale_keyframes + self._stale_relax)
                 return
+            self._consec_stale_discards = 0
+            # recover gradually: a transient stall should not permanently
+            # loosen the gate
+            self._stale_relax = max(0, self._stale_relax - 1)
             # divergence gate: corrections of a few step lengths are normal
             # accumulated drift over a wide window and are safe to apply
             # (the re-anchor is rigid and rel_motion-invariant, see below);
             # a correction of 10+ steps means the solve diverged and would
             # teleport the map.
             corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
-            step = float(np.linalg.norm(self.rel_motion[:3, 3]))
+            # scale reference: running MEDIAN of recent step lengths, not
+            # the instantaneous step — when the camera is (near-)stationary
+            # the instantaneous step collapses to ~0 and the gate would
+            # discard healthy corrections exactly while the vehicle stops
+            inst = float(np.linalg.norm(self.rel_motion[:3, 3]))
+            step = float(np.median(self._recent_steps)) \
+                if self._recent_steps else inst
+            step = max(step, inst * 0.25)
             t_corr = float(np.linalg.norm(corr_try[:3, 3]))
             cosang = (np.trace(corr_try[:3, :3]) - 1.0) / 2.0
             r_corr = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))

@@ -491,8 +491,11 @@ class TexturedSequence:
         tex = make_texture(tex_size, seed=seed, photo=photo)
         self.mips = tuple(jnp.asarray(m) for m in _mip_pyramid(
             tex, mip_levels))
+        # K_inv stays HOST-side numpy: render_frame device_puts it per call
+        # (36 bytes); keeping it on device made every host consumer
+        # (selfcheck's float64 ray tracer) pay a tunnel d2h sync
         K = np.asarray(self.cam.K, np.float64)
-        self.K_inv = jnp.asarray(np.linalg.inv(K), jnp.float32)
+        self.K_inv = np.linalg.inv(K).astype(np.float32)
         self.q_max = q_max
         self.ss = ss
         self.seed = seed

@@ -88,6 +88,13 @@ class LiveViewer:
     def __init__(self, port: int = 0, max_landmarks: int = 4000):
         self._lock = threading.Lock()
         self._max_lm = max_landmarks
+        # trajectory shipped to the page is CAPPED like the landmark cloud:
+        # beyond max_traj points, decimate in place and keep only every
+        # k-th new point — otherwise a 4,500-frame run JSON-encodes
+        # thousands of points under the producer lock on every ~4 Hz poll
+        self._max_traj = 4000
+        self._traj_stride = 1
+        self._traj_phase = 0
         self._traj: list = []
         self._state = {
             "frame_id": -1, "status": "INIT", "n_inliers": 0,
@@ -136,7 +143,13 @@ class LiveViewer:
         dt = max(now - self._t_last, 1e-6)
         self._t_last = now
         with self._lock:
-            self._traj.append([float(c[0]), float(c[2])])
+            self._traj_phase += 1
+            if self._traj_phase >= self._traj_stride:
+                self._traj_phase = 0
+                self._traj.append([float(c[0]), float(c[2])])
+                if len(self._traj) > self._max_traj:
+                    self._traj = self._traj[::2]
+                    self._traj_stride *= 2
             s = self._state
             s["frame_id"] = int(getattr(result, "frame_id", s["frame_id"]))
             st = getattr(result, "status", None)
