@@ -132,6 +132,164 @@ def test_brief_matching_survives_line_overlay_perturbation(real_pair):
     assert (disp < 2.0).mean() >= 0.8, "gross mismatch rate too high"
 
 
+@needs_real
+def test_two_view_on_identical_real_pair_degrades_gracefully(real_pair):
+    """The two reference renders are the SAME camera pose (zero baseline):
+    epipolar geometry is degenerate-identity, which is itself a testable
+    case (reference 3DHandlerTest.cc:175-262 runs its epipolar check on
+    exactly this frame). The robust two-view path must not crash and must
+    NOT hand back a usable map: with ~zero parallax the triangulation
+    quality gate has to reject essentially every point, which is what stops
+    the frontend bootstrapping off a stationary pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from ya_vo_tpu.features import matching
+    from ya_vo_tpu.geometry import ransac
+    from ya_vo_tpu.utils.synthetic import kitti_camera
+
+    img_a, img_b = real_pair
+    kp_a, desc_a = _extract(img_a)
+    kp_b, desc_b = _extract(img_b)
+    m = matching.match(desc_a, desc_b, kp_a.mask, kp_b.mask,
+                       abs_threshold=20, cross_check=True)
+    assert int(m.count()) >= 100
+    uv2 = kp_b.uv[m.idx2]
+    K = jnp.asarray(np.asarray(kitti_camera().K), jnp.float32)
+    tv = ransac.estimate_two_view(
+        kp_a.uv, uv2, m.mask, K, jax.random.PRNGKey(0),
+        n_hypotheses=256, inlier_threshold_px=1.0)
+
+    # zero-displacement correspondences satisfy ANY skew-symmetric E, so a
+    # huge "inlier" count is expected and not a bug...
+    assert int(tv.n_inliers) >= 50
+    # ...but the parallax-quality gate must refuse to mint landmarks: the
+    # frontend's bootstrap gate (n_new_landmarks >= min_flow_inliers,
+    # tracking/frontend.py _two_view_bootstrap) then keeps status INIT.
+    n_valid = int(np.asarray(tv.points_valid).sum())
+    assert n_valid <= 0.05 * int(tv.n_inliers), (
+        f"{n_valid} 'triangulated' points from a zero-baseline pair — the "
+        f"quality gate failed")
+
+
+def _warp_two_plane(img: np.ndarray, K: np.ndarray, R: np.ndarray,
+                    t: np.ndarray, d_top: float, d_bot: float,
+                    v_split: int):
+    """Synthesize the view of (R, t) assuming the photo is two fronto-
+    parallel planes (depth d_top above row v_split, d_bot below) — a
+    piecewise plane-induced homography H = K (R - t n^T / d) K^-1.
+    A SINGLE plane is degenerate for E estimation (all correspondences
+    coplanar); two planes make the two-view problem well-posed while
+    keeping the ground truth closed-form.
+
+    Returns (img1, gt_map) where gt_map(uv [N,2]) -> warped uv [N,2]."""
+    Kinv = np.linalg.inv(K)
+    n = np.array([0.0, 0.0, 1.0])
+
+    def H_for(d):
+        return K @ (R - np.outer(t, n) / d) @ Kinv
+
+    H_top, H_bot = H_for(d_top), H_for(d_bot)
+    Ht_inv, Hb_inv = np.linalg.inv(H_top), np.linalg.inv(H_bot)
+
+    Hh, Ww = img.shape
+    v, u = np.meshgrid(np.arange(Hh, dtype=np.float64),
+                       np.arange(Ww, dtype=np.float64), indexing="ij")
+    ones = np.ones_like(u)
+    tgt = np.stack([u, v, ones], -1)
+
+    # the split line lives in the SOURCE image; map each target pixel
+    # through both inverse homographies and pick the one whose source row
+    # is consistent with its plane
+    out = np.zeros_like(img, np.float32)
+    filled = np.zeros(img.shape, bool)
+    f = img.astype(np.float64)
+    for Hinv, cond in ((Ht_inv, lambda vs: vs < v_split),
+                       (Hb_inv, lambda vs: vs >= v_split)):
+        src = tgt @ Hinv.T
+        us = src[..., 0] / src[..., 2]
+        vs = src[..., 1] / src[..., 2]
+        ok = (~filled & cond(vs) & (us >= 0) & (us < Ww - 1.001)
+              & (vs >= 0) & (vs < Hh - 1.001))
+        u0 = np.clip(np.floor(us), 0, Ww - 2).astype(np.int64)
+        v0 = np.clip(np.floor(vs), 0, Hh - 2).astype(np.int64)
+        fu = np.clip(us - u0, 0, 1)
+        fv = np.clip(vs - v0, 0, 1)
+        val = (f[v0, u0] * (1 - fu) * (1 - fv) + f[v0, u0 + 1] * fu * (1 - fv)
+               + f[v0 + 1, u0] * (1 - fu) * fv + f[v0 + 1, u0 + 1] * fu * fv)
+        out = np.where(ok, val, out).astype(np.float32)
+        filled |= ok
+
+    def gt_map(uv: np.ndarray) -> np.ndarray:
+        H = np.where((uv[:, 1] < v_split)[:, None, None], H_top, H_bot)
+        p = np.einsum("nij,nj->ni", H,
+                      np.concatenate([uv, np.ones((len(uv), 1))], 1))
+        return p[:, :2] / p[:, 2:3]
+
+    return np.clip(out, 0, 255).astype(np.uint8), gt_map, filled
+
+
+@needs_real
+def test_two_view_pose_recovery_on_warped_real_photo(real_pair):
+    """match -> RANSAC E -> recoverPose-with-cheirality on REAL texture:
+    a second view with known rotation + parallax is synthesized from the
+    real frame via a two-plane homography warp, and the recovered (R, t)
+    must match the ground truth (t up to monocular scale). This is the
+    reference's buildInitMap geometry chain (src/LoopHandler.cc:532-652)
+    exercised on real photographic texture."""
+    import jax
+    import jax.numpy as jnp
+
+    from ya_vo_tpu.core import lie
+    from ya_vo_tpu.features import matching
+    from ya_vo_tpu.geometry import ransac
+    from ya_vo_tpu.utils.synthetic import kitti_camera
+
+    img, _ = real_pair
+    K = np.asarray(kitti_camera().K, np.float64)
+    # a gentle yaw + lateral/forward translation; planes at 12 m and 25 m
+    yaw = np.deg2rad(1.2)
+    R_gt = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                     [0, 1, 0],
+                     [-np.sin(yaw), 0, np.cos(yaw)]])
+    t_gt = np.array([0.35, 0.05, 0.45])
+    img1, _gt_map, filled = _warp_two_plane(
+        img, K, R_gt, t_gt, d_top=25.0, d_bot=12.0,
+        v_split=img.shape[0] // 2)
+    assert filled.mean() > 0.8, "warp left most of the frame empty"
+
+    kp0, desc0 = _extract(img)
+    kp1, desc1 = _extract(img1)
+    m = matching.match(desc0, desc1, kp0.mask, kp1.mask,
+                       abs_threshold=20, cross_check=True)
+    assert int(m.count()) >= 60, f"only {int(m.count())} matches"
+
+    tv = ransac.estimate_two_view(
+        kp0.uv, kp1.uv[m.idx2], m.mask,
+        jnp.asarray(K, jnp.float32), jax.random.PRNGKey(1),
+        n_hypotheses=512, inlier_threshold_px=1.0)
+    assert int(tv.n_inliers) >= 40
+
+    # rotation: exact up to noise
+    R_est = np.asarray(tv.R, np.float64)
+    dR = R_est @ R_gt.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.5, f"rotation error {ang:.3f} deg"
+    # translation: direction only (monocular scale is free). The bound is
+    # loose: correspondences here are FAST re-detections (about +-1 px
+    # localization on resampled texture, no subpixel flow refinement), and
+    # with a ~0.57 m baseline against 12-25 m depths that pixel noise maps
+    # to several degrees of epipole direction (measured 6.4 deg on CPU).
+    t_est = np.asarray(tv.t, np.float64).ravel()
+    cosang = abs(t_est @ t_gt) / (
+        np.linalg.norm(t_est) * np.linalg.norm(t_gt))
+    assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 10.0
+    # cheirality: the winning candidate must put (nearly) all inlier
+    # points in front of both cameras, and the quality gate must keep a
+    # healthy fraction (real parallax this time)
+    assert int(np.asarray(tv.points_valid).sum()) >= 0.5 * int(tv.n_inliers)
+
+
 def _bilinear_shift(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
     """img1[v, u] = img0[v + dy, u + dx] with bilinear interpolation, so a
     feature at (u0, v0) moves to (u0 - dx, v0 - dy)."""

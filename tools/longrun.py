@@ -40,6 +40,20 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
     cfg = VOConfig()
     fe = Frontend(cfg, seq.cam)
 
+    # stderr progress heartbeat (a 4,000-frame run on a slow tunnel can
+    # take tens of minutes; silence is indistinguishable from a hang)
+    t_start = time.perf_counter()
+
+    def _progress(res):
+        if res.frame_id % 200 == 0 and res.frame_id:
+            el = time.perf_counter() - t_start
+            print(f"[longrun] frame {res.frame_id}/{n_frames} "
+                  f"({res.frame_id / el:.1f} fps avg, {el:.0f}s, "
+                  f"resets={fe.n_resets}, kf={fe.map.n_keyframes})",
+                  file=sys.stderr, flush=True)
+
+    fe.observers.append(_progress)
+
     # isolate render cost (it shares the device with the VO kernels)
     f0 = seq.frame(0)
     f0.block_until_ready()

@@ -186,7 +186,8 @@ def _gauge_fix(S, b_red, n_fixed: int = 1, pose_weight: float = 1e8):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "n_fixed_poses",
-                                              "rel_tol"))
+                                              "rel_tol",
+                                              "pose_prior_weight"))
 def solve_window(
     prob: BAProblem,
     cam: Camera,
@@ -196,6 +197,7 @@ def solve_window(
     damping: float = 1e-4,
     n_fixed_poses: int = 1,
     rel_tol: float = 1e-3,
+    pose_prior_weight: float = 0.0,
 ) -> BAResult:
     """Run up to `iters` damped GN steps on the window problem.
 
@@ -203,15 +205,28 @@ def solve_window(
     iteration falls below `rel_tol`: a well-tracked window is usually
     near-converged already, and each GN iteration costs ~6 ms on a v5e —
     paying 8 of them to confirm convergence tripled the per-keyframe BA
-    cost for nothing."""
+    cost for nothing.
+
+    `pose_prior_weight` is a TRUST REGION anchoring every pose to its
+    INPUT value: a quadratic prior w/2 * ||log(T T_init^-1)||^2 added to
+    the reduced camera system. Forward-motion monocular windows have a
+    near-null scale mode (stretching the pose chain along the travel axis
+    barely changes robust reprojection cost when observation arcs are
+    short); unconstrained GN ratchets along it — measured on the round-3
+    textured longrun as repeated ~1-unit translation "corrections" with
+    ~0 rotation that eventually collapsed the tracker's inlier count.
+    The prior is negligible against real reprojection gradients (a pose
+    with 150 observations has diag(Hpp) ~ 2e5 px^2/unit^2; w = 100 only
+    matters in directions the data leaves free). 0 disables."""
     with jax.default_matmul_precision("float32"):
         return _solve_window(prob, cam, iters=iters, huber_delta=huber_delta,
                              damping=damping, n_fixed_poses=n_fixed_poses,
-                             rel_tol=rel_tol)
+                             rel_tol=rel_tol,
+                             pose_prior_weight=pose_prior_weight)
 
 
 def _solve_window(prob, cam, *, iters, huber_delta, damping, n_fixed_poses,
-                  rel_tol) -> BAResult:
+                  rel_tol, pose_prior_weight) -> BAResult:
     # full f32 matmul precision (set by the wrapper): normal equations and
     # Schur complements cancel heavily; bf16 input rounding stalls GN
     L = prob.landmarks.shape[0]
@@ -240,6 +255,18 @@ def _solve_window(prob, cam, *, iters, huber_delta, damping, n_fixed_poses,
     cost0, valid0 = cost_of(prob.poses, prob.landmarks)
     n_obs = jnp.sum(valid0)
 
+    init_inv = jnp.linalg.inv(prob.poses)        # [W, 4, 4]
+
+    def prior_dev(poses):
+        """Tangent deviation of each pose from its input [W, 6]."""
+        return jax.vmap(lie.se3_log)(poses @ init_inv)
+
+    def prior_cost(poses):
+        if pose_prior_weight <= 0:
+            return jnp.float32(0.0)
+        d = prior_dev(poses)
+        return 0.5 * pose_prior_weight * jnp.sum(d * d)
+
     def body(state):
         poses, landmarks, it, _ = state
         r, Jp, Jl, w, cost_prev, _ = _obs_terms(poses, landmarks, prob, cam,
@@ -249,6 +276,15 @@ def _solve_window(prob, cam, *, iters, huber_delta, damping, n_fixed_poses,
         S, b_red = _gauge_fix(S, b_red, n_fixed=n_fixed_poses)
         S = S + damping * jnp.einsum(
             "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype), jnp.eye(6, dtype=S.dtype))
+        if pose_prior_weight > 0:
+            # trust region (see solve_window docstring): w/2 ||dev + dx||^2
+            # contributes w I to the diagonal and -w dev to the gradient
+            dev = prior_dev(poses)
+            S = S + pose_prior_weight * jnp.einsum(
+                "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype),
+                jnp.eye(6, dtype=S.dtype))
+            b_red = b_red - pose_prior_weight * dev
+            cost_prev = cost_prev + prior_cost(poses)
 
         Sm = S.reshape(W * 6, W * 6)
         dxp = jnp.linalg.solve(Sm, b_red.reshape(-1)).reshape(W, 6)
@@ -278,7 +314,7 @@ def _solve_window(prob, cam, *, iters, huber_delta, damping, n_fixed_poses,
         lmB, _ = lm_cost_eval(new_poses, landmarks)
         better = lmA <= lmB
         new_landmarks = jnp.where(better[:, None], cand_landmarks, landmarks)
-        mixed_cost = jnp.sum(jnp.minimum(lmA, lmB))
+        mixed_cost = jnp.sum(jnp.minimum(lmA, lmB)) + prior_cost(new_poses)
 
         # global acceptance for the pose step (cost_prev came free with the
         # GN linearization above)

@@ -20,7 +20,17 @@ from dataclasses import dataclass, field
 class FeatureConfig:
     # FAST-12 on a Bresenham radius-3 circle (reference FastDetector.hpp:32-38;
     # ctor args were ignored there — here they are real).
-    fast_threshold: int = 40
+    # Ring threshold 20, NOT the reference's hardcoded 40: detection here
+    # keeps the top `max_keypoints` by HARRIS response, so the ring
+    # threshold is a RECALL knob, not a precision knob — in corner-rich
+    # scenes the Harris ranking selects the same strong corners either
+    # way, while in low-contrast stretches 40 starves the tracker (round-3
+    # textured longrun: ~850 corners -> inliers pinned at the reset gate;
+    # at 20 the same frames fill the full 2048 budget and 1-frame matches
+    # double). The reference has no NMS/top-K interplay to exploit: it
+    # ranks-then-keeps 2000 too, but its hand-rolled detector was never
+    # run on low-contrast imagery (KITTI daylight only).
+    fast_threshold: int = 20
     fast_arc_length: int = 12
     max_keypoints: int = 2048          # reference keeps top 2000 (FastDetector.cc:353)
     nms_radius: int = 3                # 0 disables; reference has no NMS
@@ -88,6 +98,16 @@ class TrackConfig:
     # tracker rarely trips) starves the map of fresh well-conditioned
     # landmarks. <= 0 disables.
     keyframe_max_translation: float = 1.5
+    # Replenishment landmark parallax gate: accept a freshly triangulated
+    # landmark only if its depth is below this multiple of the
+    # triangulation baseline (z/B < 45 ~ parallax > 1.3 deg). Without it
+    # the hot-path triangulation accepts anything closer than 500 map
+    # units, and under a keyframe-per-frame cadence (~1 unit baselines)
+    # far landmarks carry tens of units of depth error — enough of them
+    # and the pose solve's chi2 inlier count collapses, which is exactly
+    # the 4,000-frame textured-run reset storm diagnosed in round 3
+    # (healthy LK flow, n_ba 164 -> 27 in one frame). <= 0 disables.
+    max_depth_baseline_ratio: float = 45.0
 
 
 @dataclass(frozen=True)
@@ -120,6 +140,17 @@ class BAConfig:
     # snapshot: the rigid post-hoc correction is only a good approximation
     # near the solved window.
     max_stale_keyframes: int = 4
+    # Trust-region pose prior for LIVE backend solves (passed through to
+    # ba/window.solve_window and the distributed solvers): w/2 *
+    # ||log(T T_tracked^-1)||^2 anchors each window pose to the tracked
+    # estimate. Forward-motion monocular windows have a weakly-constrained
+    # scale mode (short observation arcs); without the prior the solver
+    # ratcheted ~1-unit translation "corrections" with ~0 rotation along
+    # the corridor axis — the round-3 textured-longrun collapse. The
+    # generic solver keeps default 0 (unbiased GN for offline problems);
+    # the live backend opts in because ITS input poses are fresh tracked
+    # estimates, trustworthy to ~0.01 units.
+    pose_prior_weight: float = 100.0
     # Backend solver placement: "auto" shards the window's landmark axis
     # over ALL visible devices (parallel/dist_ba.make_dist_solver — one
     # psum of the reduced camera system per GN iteration, riding ICI) when
@@ -128,14 +159,16 @@ class BAConfig:
     # live-pipeline extension axis the reference never had (SURVEY.md §5
     # "distributed backend": absent).
     distributed: str = "auto"
-    # Divergence gate: discard an async result whose re-anchoring correction
-    # exceeds this many per-frame step lengths in translation or this many
-    # degrees in rotation. A rigid correction is SAFE to apply at any
-    # realistic size (the re-anchor moves the live pose, the post-snapshot
-    # chain and the fresh landmarks together; rel_motion is invariant), and
-    # corrections of a few step lengths are normal accumulated drift over a
-    # wide window — this gate only rejects clearly diverged solves.
-    max_correction_steps: float = 12.0
+    # Divergence gate: discard an async result whose re-anchoring
+    # correction moves the anchor keyframe's camera CENTER by more than
+    # this many (median) per-frame step lengths, or rotates it by more
+    # than this many degrees. Center displacement, NOT the translation row
+    # of the relative transform: for world->camera poses that row carries
+    # rotation x |camera-to-world-origin| — far into a route a healthy
+    # 0.1 deg refinement reads as a phantom multi-unit "translation"
+    # (round-3 diagnosis). Healthy corrections measure <= ~0.1 steps of
+    # center motion; 1.0 is a pure teleport guard.
+    max_correction_steps: float = 1.0
     max_correction_rot_deg: float = 12.0
 
 

@@ -139,6 +139,7 @@ def make_dist_solver(
     huber_delta: float = 2.4477,
     damping: float = 1e-4,
     n_fixed_poses: int = 1,
+    pose_prior_weight: float = 0.0,
 ):
     """Build a jitted distributed window-BA solver over `mesh`.
 
@@ -146,11 +147,24 @@ def make_dist_solver(
     The landmark axis of the problem must be divisible by the mesh size.
     `n_fixed_poses` pins the gauge like ba/window.solve_window: one pose
     fixes SE(3), a second also pins the monocular scale gauge (the live
-    backend uses 2 — see Frontend._run_window_ba)."""
+    backend uses 2 — see Frontend._run_window_ba). `pose_prior_weight` is
+    the same trust-region pose prior as solve_window's (see its docstring
+    for the forward-motion scale-mode rationale); poses are replicated so
+    the prior is computed identically on every device."""
 
     def shard_body(poses, landmarks, lm_valid, obs_uv, obs_valid):
         """Runs per-device on a landmark shard; poses replicated."""
         W = poses.shape[0]
+        init_inv = jnp.linalg.inv(poses)
+
+        def prior_dev(poses_q):
+            return jax.vmap(lie.se3_log)(poses_q @ init_inv)
+
+        def prior_cost(poses_q):
+            if pose_prior_weight <= 0:
+                return jnp.float32(0.0)
+            d = prior_dev(poses_q)
+            return 0.5 * pose_prior_weight * jnp.sum(d * d)
 
         def lm_cost_rows(poses_q, lms_q):
             """Per-landmark robust costs [Ls] (+ their local sum)."""
@@ -203,6 +217,11 @@ def make_dist_solver(
             S = S + damping * jnp.einsum(
                 "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype),
                 jnp.eye(6, dtype=S.dtype))
+            if pose_prior_weight > 0:
+                S = S + pose_prior_weight * jnp.einsum(
+                    "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype),
+                    jnp.eye(6, dtype=S.dtype))
+                b = b - pose_prior_weight * prior_dev(poses_i)
             dxp = jnp.linalg.solve(
                 S.reshape(W * 6, W * 6), b.reshape(-1)).reshape(W, 6)
             ok = jnp.all(jnp.isfinite(dxp))
@@ -230,11 +249,14 @@ def make_dist_solver(
             lmB = lm_cost_rows(new_poses, lms_i)
             better = lmA <= lmB
             new_lms = jnp.where(better[:, None], cand_lms, lms_i)
-            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)), axis)
+            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)), axis) \
+                + prior_cost(new_poses)
 
             # accept-if-better on the GLOBAL cost for the pose step
-            # (cost_prev came free with the linearization)
-            cost_prev = jax.lax.psum(cost_prev_local, axis)
+            # (cost_prev came free with the linearization; prior is
+            # replicated — added once, outside the psum)
+            cost_prev = jax.lax.psum(cost_prev_local, axis) \
+                + prior_cost(poses_i)
             accept = mixed_cost < cost_prev
             poses_i = jnp.where(accept, new_poses, poses_i)
             lms_i = jnp.where(accept, new_lms, lms_i)
@@ -278,6 +300,7 @@ def make_dist_solver_2d(
     huber_delta: float = 2.4477,
     damping: float = 1e-4,
     n_fixed_poses: int = 1,
+    pose_prior_weight: float = 0.0,
 ):
     """2-D distributed window BA: keyframe BLOCKS x landmark SHARDS.
 
@@ -305,6 +328,18 @@ def make_dist_solver_2d(
         W = Wk * Pk                   # global window
         idx = jax.lax.axis_index(kf_axis)
         col0 = idx * Wk               # this block's global column offset
+        init_inv = jnp.linalg.inv(poses)   # own block's input poses
+
+        def prior_dev_own(poses_q):
+            return jax.vmap(lie.se3_log)(poses_q @ init_inv)   # [Wk, 6]
+
+        def prior_cost(poses_q):
+            """Global prior cost (replicated result): psum over kf blocks."""
+            if pose_prior_weight <= 0:
+                return jnp.float32(0.0)
+            d = prior_dev_own(poses_q)
+            return 0.5 * pose_prior_weight * jax.lax.psum(
+                jnp.sum(d * d), kf_axis)
 
         def terms(poses_q, lms_q):
             return _shard_terms(poses_q, lms_q, lm_valid, obs_uv, obs_valid,
@@ -361,6 +396,13 @@ def make_dist_solver_2d(
             S = jax.lax.all_gather(S_rows, kf_axis, axis=0,
                                    tiled=True)             # [W, 6, W, 6]
             b = jax.lax.all_gather(b_rows, kf_axis, axis=0, tiled=True)
+            if pose_prior_weight > 0:
+                S = S + pose_prior_weight * jnp.einsum(
+                    "wv,kl->wkvl", jnp.eye(W, dtype=S.dtype),
+                    jnp.eye(6, dtype=S.dtype))
+                dev_full = jax.lax.all_gather(
+                    prior_dev_own(poses_i), kf_axis, axis=0, tiled=True)
+                b = b - pose_prior_weight * dev_full
 
             # gauge + damping, replicated dense solve
             pin = jnp.zeros((W,), S.dtype)
@@ -398,9 +440,11 @@ def make_dist_solver_2d(
             new_lms = jnp.where(better[:, None], cand_lms, lms_i)
             # lmA/lmB are full-window rows (already psum'd over kf): reduce
             # over lm only; result is identical on every device
-            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)), lm_axis)
+            mixed_cost = jax.lax.psum(jnp.sum(jnp.minimum(lmA, lmB)),
+                                      lm_axis) + prior_cost(new_poses)
 
-            cost_prev = jax.lax.psum(cost_prev_local, (kf_axis, lm_axis))
+            cost_prev = jax.lax.psum(cost_prev_local, (kf_axis, lm_axis)) \
+                + prior_cost(poses_i)
             accept = mixed_cost < cost_prev
             poses_i = jnp.where(accept, new_poses, poses_i)
             lms_i = jnp.where(accept, new_lms, lms_i)

@@ -323,9 +323,20 @@ class Frontend:
             r_pts, r_valid = triangulate_fast(P1, P2, kf_uv, r_uv2, ok)
             # (a per-view reprojection gate on fresh landmarks was tried in
             # round 1 and reverted, commit acd41b1: every threshold made the
-            # keyframe cadence chaotic and accuracy worse than no gate —
-            # triangulate_fast's algebraic quality gate is the one that
-            # stays)
+            # keyframe cadence chaotic and accuracy worse than no gate. A
+            # reprojection gate cannot catch the real failure mode anyway —
+            # a wrong-depth point reprojects perfectly in BOTH triangulating
+            # views; that is the low-parallax degeneracy itself.)
+            if tc.max_depth_baseline_ratio > 0:
+                # parallax gate (round-3 reset-storm fix, see
+                # TrackConfig.max_depth_baseline_ratio): depth in the
+                # CURRENT camera must stay below ratio x baseline
+                c_kf_t = -kf_pose[:3, :3].T @ kf_pose[:3, 3]
+                c_cur_t = -solve.pose[:3, :3].T @ solve.pose[:3, 3]
+                baseline = jnp.linalg.norm(c_cur_t - c_kf_t)
+                z_cur = (lie.transform_points(solve.pose, r_pts))[:, 2]
+                r_valid = r_valid & (
+                    z_cur < tc.max_depth_baseline_ratio * baseline)
             n_matches = jnp.sum(m.mask.astype(jnp.int32))
             n_kp = jnp.sum(kp.mask.astype(jnp.int32))
 
@@ -335,15 +346,21 @@ class Frontend:
             n_free = jnp.int32(K_cap) - jnp.sum(keep.astype(jnp.int32))
             n_new = jnp.minimum(jnp.minimum(n_valid_new, n_free),
                                 cap_left.astype(jnp.int32))
+            # decay floor: min_ba + margin, NOT 2x min_ba — at the
+            # production gate (100) a 2x floor (200) sat above this world's
+            # healthy inlier level (~150-250), forcing "urgent" keyframes
+            # EVERY frame and with them ~1-unit-baseline replenishment;
+            # round-3 reset-storm diagnosis
+            decay_floor = tc.min_ba_inliers + max(20, tc.min_ba_inliers // 5)
             want_kf = n_ba < jnp.maximum(
-                jnp.int32(2 * tc.min_ba_inliers),
+                jnp.int32(decay_floor),
                 (tc.keyframe_min_inlier_ratio * kf_ref).astype(jnp.int32))
             if tc.keyframe_max_translation > 0:
                 c_now = -solve.pose[:3, :3].T @ solve.pose[:3, 3]
                 c_kf = -kf_pose[:3, :3].T @ kf_pose[:3, 3]
                 want_kf |= (jnp.linalg.norm(c_now - c_kf)
                             > tc.keyframe_max_translation)
-            urgent = n_ba < jnp.int32(2 * tc.min_ba_inliers)
+            urgent = n_ba < jnp.int32(decay_floor)
             want_kf &= urgent | (fsk + 1 >= jnp.int32(tc.min_keyframe_gap))
             # a frame that fails the FSM gates resets on the host instead —
             # don't let it seed a keyframe from a broken pose
@@ -570,6 +587,16 @@ class Frontend:
         if n_new < self.cfg.tracking.min_flow_inliers:
             return False, info
 
+        # a bootstrap re-triangulates at UNIT baseline: the map's metric
+        # scale breaks here. Fence the BA window so no solve ever mixes
+        # pre-break and post-break keyframes (incompatible scales make GN
+        # "corrections" that whiplash the live pose — the reset-storm
+        # persistence mechanism found in round 3).
+        if self.map.n_keyframes > 0:
+            # (covers both the reset-bootstrap and the INIT-after-outage
+            # path; a first bootstrap on an empty map is a no-op fence)
+            self.map.mark_scale_break()
+
         # keyframes: last + current, with current-frame observations
         uv2_np = np.asarray(uv2)
         self.map.insert_keyframe(
@@ -770,7 +797,8 @@ class Frontend:
         m = mesh_lib.landmark_mesh()
         solve = dist_ba.make_dist_solver(
             m, self.cam, iters=bc.iters, huber_delta=bc.huber_delta,
-            damping=bc.damping, n_fixed_poses=2)
+            damping=bc.damping, n_fixed_poses=2,
+            pose_prior_weight=bc.pose_prior_weight)
         self._dist_ba = (solve, m)
         _log.info("backend BA: window landmark axis sharded over %d devices "
                   "(BAConfig.distributed=%s)", n_dev, bc.distributed)
@@ -825,7 +853,8 @@ class Frontend:
                 res = ba_window.solve_window(
                     prob, self.cam, iters=bc.iters,
                     huber_delta=bc.huber_delta,
-                    damping=bc.damping, n_fixed_poses=2)
+                    damping=bc.damping, n_fixed_poses=2,
+                    pose_prior_weight=bc.pose_prior_weight)
                 jax.block_until_ready(res.poses)
         except Exception:
             _log.exception("window-BA precompile failed (first real solve "
@@ -848,17 +877,36 @@ class Frontend:
                 return
             self._kf_since_ba = 0
         if bc.asynchronous and self._ba_pending is not None:
-            # one solve in flight at a time; relaunch on completion with a
-            # FRESH snapshot (round 1 silently dropped these windows,
-            # starving refinement whenever a solve spanned >1 keyframe)
-            self._ba_deferred = True
-            return
+            n_behind = self.map.kf_stamp_counter - self._ba_pending["kf_stamp"]
+            if n_behind >= bc.max_stale_keyframes and not force:
+                # The backend has fallen a full staleness window behind
+                # (slow host / slow tunnel: solves span several keyframes).
+                # BLOCK for the in-flight solve and apply it now — a
+                # bounded stall that degrades toward sync cadence. Without
+                # this, refinement lags unboundedly and the un-refined pose
+                # chain bends until the chi2 inlier count collapses: the
+                # round-3 textured 4,000-frame run stormed into 2,578
+                # resets this way (sync-BA control run: 0 resets), because
+                # only 445 of ~1,750 scheduled window solves ever ran.
+                _log.info(
+                    "async BA %d keyframes behind: blocking for the "
+                    "in-flight solve (sync-degraded cadence)", n_behind)
+                self._ba_pending["fut"].result()
+                self._poll_ba()
+            if self._ba_pending is not None:
+                # one solve in flight at a time; relaunch on completion
+                # with a FRESH snapshot (round 1 silently dropped these
+                # windows, starving refinement whenever a solve spanned >1
+                # keyframe)
+                self._ba_deferred = True
+                return
         from ya_vo_tpu.ba import window as ba_window
 
         job = self._build_window_problem()
         if job is None:
             return
         prob, slots, used, n_real = job
+        self._last_ba_prob = prob   # kept for gate-rejection dumps
         anchor_old = self.map.kf_pose[slots[-1]].copy()
 
         def solve():
@@ -869,7 +917,8 @@ class Frontend:
                 res = ba_window.solve_window(
                     prob, self.cam, iters=bc.iters,
                     huber_delta=bc.huber_delta, damping=bc.damping,
-                    n_fixed_poses=2)
+                    n_fixed_poses=2,
+                    pose_prior_weight=bc.pose_prior_weight)
                 poses_o, lms_o = res.poses, res.landmarks
             out = jax.device_get((poses_o, lms_o))
             return out, (time.perf_counter() - t0) * 1e3
@@ -986,7 +1035,6 @@ class Frontend:
             # (the re-anchor is rigid and rel_motion-invariant, see below);
             # a correction of 10+ steps means the solve diverged and would
             # teleport the map.
-            corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
             # scale reference: running MEDIAN of recent step lengths, not
             # the instantaneous step — when the camera is (near-)stationary
             # the instantaneous step collapses to ~0 and the gate would
@@ -995,17 +1043,34 @@ class Frontend:
             step = float(np.median(self._recent_steps)) \
                 if self._recent_steps else inst
             step = max(step, inst * 0.25)
-            t_corr = float(np.linalg.norm(corr_try[:3, 3]))
+            # measure the CENTER displacement, NOT the translation row of
+            # inv(anchor_old) @ anchor_new: for world->camera poses that
+            # row contains rotation x |camera-to-world-origin| — 700 units
+            # into a route, a healthy 0.1 deg rotational refinement reads
+            # as a phantom |t| ~ 1.3 while the camera center moved 4 cm
+            # (round-3 diagnosis: every "slide" was this artifact)
+            corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
+            c_old = -anchor_old[:3, :3].T @ anchor_old[:3, 3]
+            c_new = -new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3]
+            t_corr = float(np.linalg.norm(c_new - c_old))
             cosang = (np.trace(corr_try[:3, :3]) - 1.0) / 2.0
             r_corr = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
             bc = self.cfg.ba
             if (t_corr > bc.max_correction_steps * max(step, 1e-3)
                     or r_corr > bc.max_correction_rot_deg):
                 self.n_ba_discarded += 1
+                kf_now = self.map.kf_pose[slots[-1]]
                 _log.warning(
                     "discarding async BA result: correction too large to "
-                    "apply post-hoc (|t|=%.3f vs step %.3f, rot=%.2f deg)",
-                    t_corr, step, r_corr)
+                    "apply post-hoc (|t|=%.3f vs step %.3f, rot=%.2f deg); "
+                    "slots[-1]=%d n_real=%d anchor_old_c=%s kf_now_c=%s "
+                    "new_c=%s",
+                    t_corr, step, r_corr, int(slots[-1]), n_real,
+                    np.round(-anchor_old[:3, :3].T @ anchor_old[:3, 3], 2),
+                    np.round(-kf_now[:3, :3].T @ kf_now[:3, 3], 2),
+                    np.round(-new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3],
+                             2))
+                self._maybe_dump_rejected_solve(new_poses, t_corr, r_corr)
                 return
         self._last_ba_ms = ms
         self.n_ba_runs += 1
@@ -1026,6 +1091,17 @@ class Frontend:
             self.map.landmark_pos[used] = new_lms[: len(used)]
         anchor_new = new_poses[-1]
         corr = (np.linalg.inv(anchor_old) @ anchor_new).astype(np.float32)
+        if _log.isEnabledFor(logging.INFO):
+            ca = (np.trace(corr[:3, :3]) - 1.0) / 2.0
+            dc = np.linalg.norm(
+                (-anchor_new[:3, :3].T @ anchor_new[:3, 3])
+                - (-anchor_old[:3, :3].T @ anchor_old[:3, 3]))
+            _log.info(
+                "BA apply: center_moved=%.4f rot=%.3fdeg stale_kf=%s "
+                "solve=%.0fms", float(dc),
+                float(np.degrees(np.arccos(np.clip(ca, -1, 1)))),
+                "sync" if kf_stamp_snap is None else
+                str(self.map.kf_stamp_counter - kf_stamp_snap), ms)
 
         # anything created AFTER the snapshot still lives in the pre-BA
         # coordinate frame: move those keyframes (T' = T corr) and those
@@ -1050,6 +1126,31 @@ class Frontend:
                 self.map.landmark_pos[fresh] = (
                     pts @ inv_c[:3, :3].T + inv_c[:3, 3])
 
+        # table consistency: a live-table landmark that was neither
+        # re-solved in this window (`used`) nor created after the snapshot
+        # (those are corrected by the stamp-based block above) still sits
+        # in the PRE-apply coordinate frame; after a rotational correction
+        # its reprojection from the corrected live pose is off by ~f*theta
+        # px (0.1 deg ~ 1.3 px at fx 718 — enough of those and the chi2
+        # inlier count collapses, the round-3 sudden-death mechanism).
+        # TRANSFORM them with the same corr^-1 the fresh landmarks get:
+        # their live-tracking view stays exactly consistent, and their
+        # out-of-window keyframes no longer constrain anything.
+        upd = np.zeros(self.map.max_landmarks, bool)
+        upd[used] = True
+        tl = np.maximum(self.track_lm, 0)
+        snap_bound = (lm_stamp_snap if lm_stamp_snap is not None
+                      else np.inf)   # sync applies: nothing is post-snapshot
+        stranded = (self.track_valid & (self.track_lm >= 0)
+                    & ~upd[tl]
+                    & (self.map.landmark_stamp[tl] < snap_bound))
+        if stranded.any():
+            idx = self.track_lm[stranded]
+            inv_c = np.linalg.inv(corr)
+            pts = self.map.landmark_pos[idx]
+            self.map.landmark_pos[idx] = (
+                pts @ inv_c[:3, :3].T + inv_c[:3, 3])
+
         self.last_pose = (self.last_pose @ corr).astype(np.float32)
         # rel_motion (the frame-to-frame velocity T_curr @ T_prev^-1) is
         # INVARIANT under this rigid re-anchor: both endpoints move by the
@@ -1063,6 +1164,28 @@ class Frontend:
         # device landmark/pose state is now stale: rebuild before the next
         # dispatch (sync path) or redo the in-flight frame (pipelined path)
         self._state_dirty = True
+
+    def _maybe_dump_rejected_solve(self, new_poses, t_corr, r_corr) -> None:
+        """Env-gated observability (YA_VO_DUMP_BA_DIR): pickle the window
+        problem whose solve the divergence gate just rejected, so weak-mode
+        slides can be analyzed offline instead of re-derived from logs."""
+        import os
+        import pickle
+
+        d = os.environ.get("YA_VO_DUMP_BA_DIR")
+        if not d or getattr(self, "_last_ba_prob", None) is None:
+            return
+        try:
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(
+                d, f"rejected_f{self.frame_id}_{self.n_ba_discarded}.pkl")
+            prob_np = jax.device_get(self._last_ba_prob)
+            with open(path, "wb") as f:
+                pickle.dump({"prob": prob_np, "new_poses": new_poses,
+                             "t_corr": t_corr, "r_corr": r_corr}, f)
+            _log.info("dumped gate-rejected BA problem to %s", path)
+        except Exception:
+            _log.exception("BA problem dump failed")
 
     def _poll_ba(self) -> None:
         """Apply a finished backend result (frontend-thread side)."""
@@ -1249,6 +1372,14 @@ class Frontend:
             P1, P2, jnp.asarray(kf_uv_m), jnp.asarray(uv2_m),
             jnp.asarray(ok_m))
         pts, valid = np.asarray(pts), np.asarray(valid) & ok_m
+        tc = self.cfg.tracking
+        if tc.max_depth_baseline_ratio > 0:
+            # same parallax gate as the in-jit replenishment path
+            c_kf = -old_kf_pose[:3, :3].T @ old_kf_pose[:3, 3]
+            c_cur = -pose[:3, :3].T @ pose[:3, 3]
+            baseline = float(np.linalg.norm(c_cur - c_kf))
+            z_cur = (pts @ pose[:3, :3].T + pose[:3, 3])[:, 2]
+            valid &= z_cur < tc.max_depth_baseline_ratio * max(baseline, 1e-6)
         free = np.nonzero(~self.track_valid)[0]
         take = np.nonzero(valid)[0][: len(free)]
         if take.size:

@@ -70,6 +70,14 @@ class MapStore:
         self.kf_stamp = np.zeros(max_keyframes, np.int64)
         self.n_keyframes = 0
         self.kf_stamp_counter = 0
+        # sliding-window fence: keyframes BEFORE this slot must never share
+        # a BA window with keyframes after it. Set at monocular scale
+        # breaks (a two-view bootstrap re-triangulates at unit baseline,
+        # reference reinitialize semantics src/LoopHandler.cc:168-296):
+        # a window straddling the break would make GN reconcile two
+        # incompatible scales, and its "corrections" whiplash the live
+        # pose — the round-3 reset-storm PERSISTENCE mechanism.
+        self.window_barrier = 0
 
         # per-keyframe observations: pixel + landmark link (-1 = none)
         self.kf_obs_uv = np.zeros((max_keyframes, max_obs_per_kf, 2),
@@ -253,6 +261,7 @@ class MapStore:
         self.kf_valid[k - n: k] = False
         self.kf_obs_valid[k - n: k] = False
         self.n_keyframes = k - n
+        self.window_barrier = max(0, self.window_barrier - n)
         self.n_evicted_keyframes += n
         log.info("evicted %d oldest keyframes (now %d/%d); %d landmarks "
                  "orphaned", n, self.n_keyframes, self.max_keyframes,
@@ -304,10 +313,16 @@ class MapStore:
         idx = np.nonzero(self.landmark_alive[: self.n_landmarks])[0]
         return self.landmark_pos[idx], idx
 
+    def mark_scale_break(self) -> None:
+        """Fence the BA window at the current keyframe count (call BEFORE
+        inserting the first keyframe of the new-scale segment)."""
+        self.window_barrier = self.n_keyframes
+
     def active_window(self, window: int):
         """Last `window` keyframes: (kf_slots, poses, obs_uv, obs_lm, obs_valid)
-        — the input to sliding-window BA."""
-        k0 = max(0, self.n_keyframes - window)
+        — the input to sliding-window BA. Never crosses `window_barrier`
+        (monocular scale breaks, see __init__)."""
+        k0 = max(0, self.n_keyframes - window, self.window_barrier)
         sl = slice(k0, self.n_keyframes)
         slots = np.arange(k0, self.n_keyframes)
         return (
