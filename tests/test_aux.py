@@ -133,7 +133,7 @@ def test_package_api():
     import ya_vo_tpu
 
     fe = ya_vo_tpu.create_frontend()
-    assert fe.cfg.features.fast_threshold == 40
+    assert fe.cfg.features.fast_threshold == 20  # round-3 default (see FeatureConfig)
     assert ya_vo_tpu.VOConfig().sequence == "00"
 
 

@@ -54,7 +54,10 @@ def _extract(img: np.ndarray):
     kp = fast.detect(
         jnp.asarray(img),
         max_keypoints=fc.max_keypoints,
-        threshold=fc.fast_threshold,
+        # pinned to the REFERENCE operating point (FastDetector threshold
+        # 40) — these tests document behavior at the reference's config,
+        # independent of the pipeline's default (20, see FeatureConfig)
+        threshold=40,
         arc_length=fc.fast_arc_length,
         nms_radius=fc.nms_radius,
         border=fc.brief_patch_radius + fc.blur_ksize // 2 + 4,

@@ -1403,6 +1403,13 @@ class Frontend:
             self.map.evict_oldest_keyframes(
                 max(1, self.map.max_keyframes // 4),
                 protected_landmarks=self.track_lm[self.track_valid])
+        # fence the BA window at the relocalization: the PnP pose (often
+        # only a few dozen inliers) plus its wide-baseline refill is only
+        # LOOSELY consistent with the pre-reset keyframes; windows
+        # straddling the discontinuity produced growing corrections
+        # (rot 0.2 -> 1.1 deg across successive applies) that re-broke
+        # tracking — the round-3 post-reloc reset-cluster mechanism.
+        self.map.mark_scale_break()
         self.map.insert_keyframe(
             self.frame_id, self.last_pose,
             self.track_uv, self.track_lm, self.track_valid)
