@@ -49,6 +49,30 @@ def test_checkpoint_resume_continues_tracking(tmp_path):
     assert ate_resumed < max(0.05, 2 * ate_ref), (ate_resumed, ate_ref)
 
 
+def test_checkpoint_persists_window_barrier(tmp_path):
+    """The scale-break fence survives save/load: a resumed session must not
+    solve a BA window straddling a pre-checkpoint bootstrap reset
+    (round-3 advisor, low)."""
+    from ya_vo_tpu.tracking.frontend import Frontend
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=6, n_landmarks=400, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=9)
+    cfg = make_config(sync_ba=True)
+    fe1 = Frontend(cfg, cam)
+    for img in imgs:
+        fe1.process(img)
+    fe1.map.mark_scale_break()      # simulate a mid-sequence bootstrap reset
+    barrier = fe1.map.window_barrier
+    assert barrier > 0
+    path = str(tmp_path / "state.npz")
+    ckpt.save_frontend(fe1, path)
+
+    fe2 = Frontend(cfg, cam)
+    ckpt.load_frontend(fe2, path)
+    assert fe2.map.window_barrier == barrier
+
+
 def test_trajectory_kitti_roundtrip(tmp_path):
     poses_wc = synthetic.forward_trajectory(20, step=0.7, yaw_rate=0.01)
     cam_to_world = np.linalg.inv(poses_wc)
@@ -147,3 +171,36 @@ def test_reference_config_files_load():
     cfg2 = VOConfig.from_json("/root/reference/config/KITTI_mock_test.json")
     assert cfg2.sequence == "00"
     assert cfg2.base_path.endswith("dataset/sequences/")
+
+
+def test_shipped_config_files_load():
+    """The shipped configs (README entry point) must always load — this
+    regressed once when MatchConfig.max_matches was retired but the JSONs
+    still carried it (round-3 advisor, high)."""
+    import os
+
+    from ya_vo_tpu.config import VOConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = VOConfig.from_json(os.path.join(root, "configs", "KITTI.json"))
+    assert cfg.base_path == "/data/kitti"
+    cfg2 = VOConfig.from_json(
+        os.path.join(root, "configs", "KITTI_mock_test.json"))
+    assert cfg2.ba.asynchronous is False  # deterministic for mock tests
+
+
+def test_unknown_config_keys_warn_not_raise():
+    """Older-schema configs with retired keys load with a warning instead of
+    TypeError (forward compatibility across framework upgrades)."""
+    import warnings
+
+    from ya_vo_tpu.config import VOConfig
+
+    raw = {"matching": {"abs_threshold": 25, "max_matches": 1024},
+           "tracking": {"min_ba_inliers": 50}}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = VOConfig.from_dict(raw)
+    assert cfg.matching.abs_threshold == 25
+    assert cfg.tracking.min_ba_inliers == 50
+    assert any("max_matches" in str(x.message) for x in w)

@@ -219,7 +219,20 @@ class VOConfig:
                     "ransac": RansacConfig, "tracking": TrackConfig,
                     "map": MapConfig, "ba": BAConfig,
                 }[f_.name]
-                kwargs[f_.name] = sub_cls(**v)
+                # Tolerate keys from older schema revisions (e.g. the
+                # retired MatchConfig.max_matches): drop with a warning
+                # instead of TypeError, so saved configs keep loading
+                # across framework upgrades — the reference's jsoncpp
+                # reader was similarly lenient (src/LoopHandler.cc:8-11).
+                known = {sf.name for sf in dataclasses.fields(sub_cls)}
+                unknown = set(v) - known
+                if unknown:
+                    import warnings
+                    warnings.warn(
+                        f"config section '{f_.name}': ignoring unknown "
+                        f"key(s) {sorted(unknown)}", stacklevel=2)
+                kwargs[f_.name] = sub_cls(
+                    **{k: x for k, x in v.items() if k in known})
             else:
                 kwargs[f_.name] = v
         return VOConfig(**kwargs)

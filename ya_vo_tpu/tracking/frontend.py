@@ -177,6 +177,7 @@ class Frontend:
         # healthy corrections exactly while the vehicle was stopped)
         from collections import deque
         self._recent_steps = deque(maxlen=20)
+        self._peak_step = 0.0
         self._session_epoch = 0
         # pipelined-run state: the one dispatched-but-unresolved frame
         self._pending = None
@@ -710,8 +711,20 @@ class Frontend:
         self.last_pose = np.asarray(pose_d, np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
-        self._recent_steps.append(
-            float(np.linalg.norm(self.rel_motion[:3, 3])))
+        # feed the gate's scale reference only with MOVING steps: during a
+        # long stop (multi-hundred-frame red light) raw appends would
+        # collapse the median to ~0 within maxlen frames and the divergence
+        # gate would discard healthy corrections for the rest of the stop —
+        # the exact failure the median was introduced to remove. A step
+        # counts as motion if it exceeds 5% of the current nominal step
+        # (or anything at all while the reference is still empty).
+        _step = float(np.linalg.norm(self.rel_motion[:3, 3]))
+        if (not self._recent_steps
+                or _step > 0.05 * float(np.median(self._recent_steps))):
+            self._recent_steps.append(_step)
+        # slowly-decaying speed peak: a second floor for the gate that a
+        # smooth deceleration cannot ratchet down (halves in ~700 frames)
+        self._peak_step = max(self._peak_step * 0.999, _step)
 
         is_kf = bool(np.asarray(is_kf_d))
         n_new = int(np.asarray(n_new_d)) if is_kf else 0
@@ -891,6 +904,15 @@ class Frontend:
                 _log.info(
                     "async BA %d keyframes behind: blocking for the "
                     "in-flight solve (sync-degraded cadence)", n_behind)
+                # A deliberate stall must always yield applied refinement:
+                # deferred relaunches dispatch at arbitrary keyframe parity,
+                # so this path can first trigger at n_behind = limit+1 —
+                # without the floor the apply-side staleness gate would
+                # discard the very result we just paid a sync stall for
+                # (block-then-discard, round-3 advisor). The divergence
+                # gate still applies; only the staleness discard is lifted
+                # for THIS result.
+                self._ba_pending["stale_floor"] = n_behind
                 self._ba_pending["fut"].result()
                 self._poll_ba()
             if self._ba_pending is not None:
@@ -997,14 +1019,16 @@ class Frontend:
 
     def _apply_ba_result(self, new_poses, new_lms, slots, used, n_real,
                          anchor_old, ms, kf_stamp_snap=None,
-                         lm_stamp_snap=None) -> None:
+                         lm_stamp_snap=None, stale_floor=0) -> None:
         new_poses = new_poses[:n_real]
         if not (np.all(np.isfinite(new_poses))
                 and np.all(np.isfinite(new_lms))):
             return
         if kf_stamp_snap is not None:
             n_stale = self.map.kf_stamp_counter - kf_stamp_snap
-            stale_limit = self.cfg.ba.max_stale_keyframes + self._stale_relax
+            stale_limit = max(
+                self.cfg.ba.max_stale_keyframes + self._stale_relax,
+                stale_floor)
             if n_stale > stale_limit:
                 # the rigid correction below is only a good approximation
                 # near the solved window; a result this stale does more
@@ -1042,7 +1066,11 @@ class Frontend:
             inst = float(np.linalg.norm(self.rel_motion[:3, 3]))
             step = float(np.median(self._recent_steps)) \
                 if self._recent_steps else inst
-            step = max(step, inst * 0.25)
+            # drift (what corrections repair) scales with distance
+            # traveled, not current speed: floor the scale reference at
+            # 10% of the decaying speed peak so crawling doesn't
+            # over-tighten the gate
+            step = max(step, inst * 0.25, 0.1 * self._peak_step)
             # measure the CENTER displacement, NOT the translation row of
             # inv(anchor_old) @ anchor_new: for world->camera poses that
             # row contains rotation x |camera-to-world-origin| — 700 units
@@ -1204,7 +1232,8 @@ class Frontend:
                 self._apply_ba_result(
                     new_poses, new_lms, p["slots"], p["used"], p["n_real"],
                     p["anchor_old"], ms, kf_stamp_snap=p["kf_stamp"],
-                    lm_stamp_snap=p["lm_stamp"])
+                    lm_stamp_snap=p["lm_stamp"],
+                    stale_floor=p.get("stale_floor", 0))
         if self._ba_deferred:
             self._ba_deferred = False
             self._run_window_ba(force=True)

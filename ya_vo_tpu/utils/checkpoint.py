@@ -38,6 +38,7 @@ def save_frontend(fe, path: str) -> None:
         lm_free=np.asarray(m._free, np.int64),
         lm_stamp_counter=np.int64(m.lm_stamp_counter),
         kf_stamp_counter=np.int64(m.kf_stamp_counter),
+        window_barrier=np.int64(m.window_barrier),
         kf_pose=m.kf_pose[: m.n_keyframes],
         kf_frame_id=m.kf_frame_id[: m.n_keyframes],
         kf_stamp=m.kf_stamp[: m.n_keyframes],
@@ -117,6 +118,11 @@ def load_frontend(fe, path: str) -> None:
         m.lm_stamp_counter = nl
         m.kf_stamp_counter = nk
         m.kf_stamp[:nk] = np.arange(nk)
+    # scale-break fence: without restoring it, a session resumed from a
+    # checkpoint taken after a bootstrap reset could again solve a BA
+    # window straddling the break (round-3 advisor). 0 for old checkpoints.
+    m.window_barrier = int(z["window_barrier"]) if "window_barrier" in z \
+        else 0
 
     if z["last_img"].size:
         import jax.numpy as jnp
