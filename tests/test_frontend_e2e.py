@@ -14,18 +14,21 @@ from ya_vo_tpu.utils import synthetic
 from ya_vo_tpu.viz import evaluation
 
 
-def make_config(sync_ba: bool = False):
+def make_config(sync_ba: bool = False, apply_mode: str = "device"):
     """sync_ba=True pins backend BA to the synchronous path — required by
     the run-equality tests below (async BA applies results at thread-timing-
-    dependent frames, so two runs are not bit-comparable)."""
+    dependent frames, so two runs are not bit-comparable). apply_mode
+    "push" keeps BA applies bit-exact across drivers (the exactness tests
+    use it); "device" is the production default — see BAConfig.apply_mode."""
     cfg = VOConfig(
         image_height=256, image_width=768,
         features=FeatureConfig(max_keypoints=1024),
         tracking=TrackConfig(min_ba_inliers=15, min_flow_inliers=5),
     )
-    if sync_ba:
-        cfg = dataclasses.replace(
-            cfg, ba=dataclasses.replace(cfg.ba, asynchronous=False))
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(
+            cfg.ba, apply_mode=apply_mode,
+            asynchronous=False if sync_ba else cfg.ba.asynchronous))
     return cfg
 
 
@@ -119,11 +122,13 @@ def test_pipelined_matches_sync_exactly(sequence):
     """The pipelined driver (dispatch-ahead + deferred gate resolution +
     redo-on-state-change) must produce BIT-IDENTICAL results to the
     synchronous reference semantics — same trajectory, same keyframe
-    cadence, same reset count."""
+    cadence, same reset count. Uses BAConfig.apply_mode="push" (the
+    bit-exact apply path; the "device" fast path reassociates the
+    correction product and is covered by the allclose test below)."""
     imgs, *_, cam = sequence
-    fe_sync = Frontend(make_config(sync_ba=True), cam)
+    fe_sync = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
     traj_sync = fe_sync.run(imgs, pipelined=False)
-    fe_pipe = Frontend(make_config(sync_ba=True), cam)
+    fe_pipe = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
     traj_pipe = fe_pipe.run(imgs, pipelined=True)
     np.testing.assert_array_equal(traj_sync, traj_pipe)
     assert [r.is_keyframe for r in fe_sync.results] == \
@@ -133,14 +138,33 @@ def test_pipelined_matches_sync_exactly(sequence):
         [r.n_ba_inliers for r in fe_pipe.results]
 
 
+def test_device_apply_matches_push_apply(sequence):
+    """The optional "device" BA-apply path (correction composed into the
+    device chain in place, in-flight frames rotated at resolve) is a
+    documented APPROXIMATION of the default "push" path: in-flight frames
+    keep tracking against pre-refinement landmarks for up to an apply
+    cycle (BAConfig.apply_mode). Pin its contract: identical FSM decisions
+    and a trajectory within a small fraction of the per-frame step (0.4
+    units here) of the exact path."""
+    imgs, *_, cam = sequence
+    fe_push = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
+    traj_push = fe_push.run(imgs, pipelined=True)
+    fe_dev = Frontend(make_config(sync_ba=True, apply_mode="device"), cam)
+    traj_dev = fe_dev.run(imgs, pipelined=True)
+    np.testing.assert_allclose(traj_dev, traj_push, atol=0.15)
+    assert fe_dev.n_resets == fe_push.n_resets
+    assert [r.is_keyframe for r in fe_dev.results] == \
+        [r.is_keyframe for r in fe_push.results]
+
+
 def test_pipelined_matches_sync_through_reset(sequence):
     """Same equivalence through a blackout-induced RESET: the pipelined
     redo path must reproduce the synchronous reset recovery."""
     imgs, *_, cam = sequence
     corrupted = list(imgs[:6]) + [np.zeros_like(imgs[0])] * 2 + list(imgs[6:])
-    fe_sync = Frontend(make_config(sync_ba=True), cam)
+    fe_sync = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
     traj_sync = fe_sync.run(corrupted, pipelined=False)
-    fe_pipe = Frontend(make_config(sync_ba=True), cam)
+    fe_pipe = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
     traj_pipe = fe_pipe.run(corrupted, pipelined=True)
     np.testing.assert_array_equal(traj_sync, traj_pipe)
     assert fe_sync.n_resets == fe_pipe.n_resets

@@ -29,7 +29,8 @@ print("valid tracks:", int(fe.track_valid.sum()), "of", len(fe.track_valid))
 img_dev = jnp.asarray(imgs[8])
 args = (fe._d_kf_img, img_dev, fe._d_anchor_uv, fe._d_track_valid,
         fe._d_lm_pos, fe._d_pose, fe._d_rel, fe._d_kf_desc, fe._d_kf_uv,
-        fe._d_kf_mask, fe._d_kf_pose, fe._d_kf_ref, fe._d_fsk, np.int32(500))
+        fe._d_kf_mask, fe._d_kf_pose, fe._d_kf_ref, fe._d_fsk,
+        fe._d_slot_stamp, np.int32(fe.frame_id), np.int32(500))
 
 
 def timeit(fn, n=20, label=""):

@@ -98,6 +98,16 @@ class TrackConfig:
     # tracker rarely trips) starves the map of fresh well-conditioned
     # landmarks. <= 0 disables.
     keyframe_max_translation: float = 1.5
+    # Pipelined-ingest depth: how many dispatched frames may be in flight
+    # before the oldest one's FSM gates are resolved. The tunneled TPU
+    # backend has ~50-100 ms execution->readback LATENCY but ~9 ms/step
+    # THROUGHPUT (round-4 measurement); depth-1 frame periods must cover
+    # the latency for gate reads to land for free. Gate/keyframe/reset
+    # decisions apply up to depth-1 frames late; on a reset or BA apply the
+    # in-flight dispatches are redone against the rebuilt state (device
+    # time only), so results remain what the synchronous path produces.
+    # 2 reproduces the round-3 single-slot pipelining.
+    pipeline_depth: int = 8
     # Replenishment landmark parallax gate: accept a freshly triangulated
     # landmark only if its depth is below this multiple of the
     # triangulation baseline (z/B < 45 ~ parallax > 1.3 deg). Without it
@@ -124,7 +134,13 @@ class BAConfig:
     huber_delta: float = 2.4477
     damping: float = 1e-4
     min_keyframes: int = 3             # don't run BA below this window fill
-    every_n_keyframes: int = 2         # backend cadence
+    # Backend cadence: solve every 3rd keyframe. Measured round 4 (TPU,
+    # both the stamps and textured worlds, pipeline_depth=8): every-3
+    # BEATS every-2 on BOTH throughput (+45%: fewer ~15 ms solves sharing
+    # the chip + fewer apply-time redo bursts) and accuracy (textured ATE
+    # 0.027 vs 0.050: each solve sees a wider-baseline window and fewer
+    # half-converged corrections thrash the live chain).
+    every_n_keyframes: int = 3
     max_window_landmarks: int = 4096   # compacted landmark capacity
     # Run BA on a backend thread (the reference's two-thread split,
     # src/main.cc:11-12, applied to frontend+backend). Stability rests on
@@ -159,6 +175,22 @@ class BAConfig:
     # live-pipeline extension axis the reference never had (SURVEY.md §5
     # "distributed backend": absent).
     distributed: str = "auto"
+    # How a BA correction reaches the device-resident tracking chain:
+    #   "push" (default): mark state dirty, push the host mirrors wholesale
+    #     and re-dispatch in-flight pipelined frames against them (the
+    #     redo reuses each frame's cached extraction, so it costs only the
+    #     state-dependent tail). Bit-identical to the synchronous driver,
+    #     and every in-flight frame immediately tracks against the
+    #     solver's REFINED landmark positions.
+    #   "device": compose the rigid re-anchor into the device state in
+    #     place and rotate in-flight frames' outputs at resolve time — no
+    #     push, no redo. ~20% faster at pipeline_depth 8, but in-flight
+    #     frames (including their keyframe triangulations) keep tracking
+    #     against pre-refinement landmarks for up to an apply cycle;
+    #     measured round 4 this costs 2-10x raw-trajectory ATE on long
+    #     runs. Kept as an option for latency-critical deployments where
+    #     the offline global refine recovers the accuracy.
+    apply_mode: str = "push"
     # Divergence gate: discard an async result whose re-anchoring
     # correction moves the anchor keyframe's camera CENTER by more than
     # this many (median) per-frame step lengths, or rotates it by more

@@ -30,6 +30,7 @@ from __future__ import annotations
 import enum
 import logging
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -148,12 +149,20 @@ class Frontend:
         self._d_kf_img = None          # [H, W] uint8 anchor keyframe image
         self._d_kf_ref = jnp.float32(0.0)
         self._d_fsk = jnp.int32(0)     # frames since last keyframe
+        # per-slot merge stamp: the frame number whose on-device keyframe
+        # merge last wrote the slot. Lets a BA apply (apply_mode="device")
+        # overwrite a slot's landmark position with the refined host value
+        # ONLY when the slot has not been remapped by a still-in-flight
+        # keyframe (stamp <= last resolved frame id) — in-flight merges
+        # keep their rigid-corrected fresh triangulations instead.
+        self._d_slot_stamp = jnp.zeros(K_cap, jnp.int32)
+        self._resolved_fid = 0         # newest frame id resolved on host
         # set by bootstrap / BA apply: device state must be rebuilt from the
         # host mirrors before the next dispatch
         self._state_dirty = False
 
         self._extract = self._build_extract()
-        self._track_step = self._build_track_step()
+        self._track_step, self._track_step_pre = self._build_track_step()
         self._kf_since_ba = 0
         self._frames_since_kf = 0
         # backend thread state
@@ -179,8 +188,14 @@ class Frontend:
         self._recent_steps = deque(maxlen=20)
         self._peak_step = 0.0
         self._session_epoch = 0
-        # pipelined-run state: the one dispatched-but-unresolved frame
-        self._pending = None
+        # pipelined-run state: dispatched-but-unresolved frames, oldest
+        # first. Depth > 2 matters because the tunneled TPU backend has
+        # ~50-100 ms execution->readback LATENCY but ~9 ms/step THROUGHPUT
+        # (measured round 4): resolving a frame's gates only one frame
+        # after dispatch still blocks ~35 ms/frame. With depth D the gate
+        # read happens D-1 frame periods after dispatch, fully hiding the
+        # latency once (D-1) x frame_period exceeds it.
+        self._pending_q = deque()
         # distributed backend: shard the window's landmark axis over the
         # visible devices (BAConfig.distributed). (solve_fn, mesh) or None.
         self._dist_ba = None
@@ -243,7 +258,7 @@ class Frontend:
         @jax.jit
         def step(kf_img, img_curr, anchor_uv, track_mask, lm_pos,
                  pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                 kf_ref, fsk, cap_left):
+                 kf_ref, fsk, slot_stamp, frame_no, cap_left):
             # state-in/state-out: all tracking state stays on device; the
             # host reads back gate scalars + the pose (async copies) and
             # mirrors the keyframe record into the map store at resolve time.
@@ -253,17 +268,6 @@ class Frontend:
             # pose-chain random walk per frame at 20 map units. Feature
             # kernels (FAST/BRIEF/Hamming: small ints and +-1) are exact in
             # bf16 and keep their own (faster) precision settings.
-            with jax.default_matmul_precision("float32"):
-                return _step_body(
-                    kf_img, img_curr, anchor_uv, track_mask, lm_pos,
-                    pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                    kf_ref, fsk, cap_left)
-
-        def _step_body(kf_img, img_curr, anchor_uv, track_mask, lm_pos,
-                       pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                       kf_ref, fsk, cap_left):
-            T_prior = rel @ pose
-
             kp = fast.detect(
                 img_curr,
                 max_keypoints=fc.max_keypoints,
@@ -276,6 +280,31 @@ class Frontend:
             blurred = brief.gaussian_blur(
                 img_curr.astype(jnp.float32), fc.blur_ksize, fc.blur_sigma)
             desc, _ = brief.describe(blurred, kp.uv, kp.mask, offsets)
+            with jax.default_matmul_precision("float32"):
+                return _step_body(
+                    kp, desc, kf_img, img_curr, anchor_uv, track_mask,
+                    lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                    kf_ref, fsk, slot_stamp, frame_no, cap_left)
+
+        @jax.jit
+        def step_pre(kp, desc, kf_img, img_curr, anchor_uv, track_mask,
+                     lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                     kf_ref, fsk, slot_stamp, frame_no, cap_left):
+            # redo variant: extraction (FAST + blur + BRIEF, ~half the
+            # step's device time) is state-INDEPENDENT, so a re-dispatch
+            # after a reset/BA push reuses the original dispatch's kp/desc
+            # and re-runs only the state-dependent tail (LK + pose GN +
+            # match/triangulate + merge)
+            with jax.default_matmul_precision("float32"):
+                return _step_body(
+                    kp, desc, kf_img, img_curr, anchor_uv, track_mask,
+                    lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                    kf_ref, fsk, slot_stamp, frame_no, cap_left)
+
+        def _step_body(kp, desc, kf_img, img_curr, anchor_uv, track_mask,
+                       lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
+                       kf_ref, fsk, slot_stamp, frame_no, cap_left):
+            T_prior = rel @ pose
 
             pc = lie.transform_points(T_prior, lm_pos)
             seed, z = cam.project(pc)
@@ -384,6 +413,8 @@ class Frontend:
             lm_kf = lm_pos.at[dest].set(
                 jnp.where(write_ok[:, None], r_pts[src], lm_pos[dest]))
             valid_kf = keep.at[dest].set(keep[dest] | write_ok)
+            stamp_kf = slot_stamp.at[dest].set(
+                jnp.where(write_ok, frame_no, slot_stamp[dest]))
 
             # ---- select the state chain by the keyframe decision ----
             anchor_o = jnp.where(is_kf, anchor_kf, anchor_uv)
@@ -397,16 +428,17 @@ class Frontend:
             kf_ref_o = jnp.where(is_kf, (n_ba + n_new).astype(jnp.float32),
                                  kf_ref)
             fsk_o = jnp.where(is_kf, jnp.int32(0), fsk + 1)
+            stamp_o = jnp.where(is_kf, stamp_kf, slot_stamp)
 
             state_out = (anchor_o, valid_o, lm_o, solve.pose, new_rel,
                          kf_desc_o, kf_uv_o, kf_mask_o, kf_pose_o, kf_img_o,
-                         kf_ref_o, fsk_o, new_track_uv)
+                         kf_ref_o, fsk_o, new_track_uv, stamp_o)
             record = (n_flow, n_ba, n_kp, n_matches, is_kf, n_new,
                       solve.pose, keep, flow.status, solve.inlier_mask,
                       dest, src, anchor_o, valid_o, r_pts)
             return kp, desc, state_out, record
 
-        return step
+        return step, step_pre
 
     def _push_map_state_to_device(self) -> None:
         """Refresh the device-resident anchor/landmark/keyframe-context
@@ -437,7 +469,50 @@ class Frontend:
             self._d_kf_img = jnp.asarray(self._kf_img)
         self._d_kf_ref = jnp.float32(self._kf_ref_inliers)
         self._d_fsk = jnp.int32(self._frames_since_kf)
+        # the table now equals the host mirrors: every slot is "resolved"
+        self._d_slot_stamp = jnp.zeros(
+            self._d_slot_stamp.shape, jnp.int32)
         self._state_dirty = False
+
+    def _apply_corr_device(self, corr: np.ndarray) -> None:
+        """Compose a BA apply into the device-resident chain IN PLACE:
+
+        * world->camera poses right-multiply by corr;
+        * landmark slots the host has RESOLVED (merge stamp <= newest
+          resolved frame id) take the authoritative post-apply position
+          from the host map — this carries the solver's actual REFINED
+          positions to the tracker (load-bearing for accuracy: with only
+          the rigid transform below, raw ATE degraded 10x in the round-4
+          measurement because the tracker kept solving against unrefined
+          two-view triangulations);
+        * slots remapped by a still-in-flight keyframe merge keep their
+          fresh triangulation, moved rigidly as points through corr^-1
+          (projection-invariant: (T corr)(corr^-1 X) = T X).
+
+        In-flight pipelined records were dispatched pre-correction and
+        will resolve in the OLD coordinates; each is stamped with the
+        (composed) correction so _finish_track rotates its outputs at
+        resolve time. No push, no redo."""
+        corr_d = jnp.asarray(corr)
+        inv_c = np.linalg.inv(corr)
+        inv_d = jnp.asarray(inv_c)
+        self._d_pose = self._d_pose @ corr_d
+        self._d_kf_pose = self._d_kf_pose @ corr_d
+        # authoritative positions at the resolved frontier (the map was
+        # updated by the caller just before this): slot -> refined/
+        # corrected landmark position
+        tl = np.maximum(self.track_lm, 0)
+        upd_mask = (self.track_valid & (self.track_lm >= 0)
+                    & self.map.landmark_alive[tl])
+        upd_pos = self.map.landmark_pos[tl]
+        rigid = self._d_lm_pos @ inv_d[:3, :3].T + inv_d[:3, 3]
+        safe = jnp.asarray(upd_mask) & (
+            self._d_slot_stamp <= jnp.int32(self._resolved_fid))
+        self._d_lm_pos = jnp.where(
+            safe[:, None], jnp.asarray(upd_pos), rigid)
+        for rec in self._pending_q:
+            rec["post_corr"] = corr if rec["post_corr"] is None \
+                else (rec["post_corr"] @ corr).astype(np.float32)
 
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
@@ -625,7 +700,7 @@ class Frontend:
         return True, info  # caller records keyframe context in process()
 
     # ------------------------------------------------------------------ #
-    def _dispatch_track(self, img) -> dict:
+    def _dispatch_track(self, img, pre=None) -> dict:
         """Dispatch the fused per-frame tracking step and commit the
         device-side state chain — NO host sync happens here.
 
@@ -643,13 +718,19 @@ class Frontend:
         # frame stale in pipelined mode; only matters near a full map) —
         # recycled free-list slots count as capacity
         cap_left = self.map.free_landmark_capacity
-        kp, desc, state_out, record = self._track_step(
+        state_in = (
             self._d_kf_img, img, self._d_anchor_uv, self._d_track_valid,
             self._d_lm_pos, self._d_pose, self._d_rel,
             self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
             self._d_kf_pose, self._d_kf_ref, self._d_fsk,
+            self._d_slot_stamp, np.int32(self.frame_id),
             np.int32(cap_left),
         )
+        if pre is None:
+            kp, desc, state_out, record = self._track_step(*state_in)
+        else:
+            kp, desc, state_out, record = self._track_step_pre(
+                *pre, *state_in)
         for arr in record:
             arr.copy_to_host_async()
         # commit the device-resident chain NOW so the next frame can be
@@ -659,10 +740,10 @@ class Frontend:
          self._d_pose, self._d_rel,
          self._d_kf_desc, self._d_kf_uv, self._d_kf_mask, self._d_kf_pose,
          self._d_kf_img, self._d_kf_ref, self._d_fsk,
-         self._d_track_uv) = state_out
+         self._d_track_uv, self._d_slot_stamp) = state_out
         return dict(frame_id=self.frame_id, img=img, kp=kp, desc=desc,
                     prev_kp=self.last_kp, prev_desc=self.last_desc,
-                    pull=record, t0=t0)
+                    pull=record, t0=t0, post_corr=None)
 
     def _finish_track(self, rec: dict) -> FrameResult:
         """Evaluate the FSM gates and REPLAY the device-made keyframe
@@ -708,7 +789,15 @@ class Frontend:
         # mirrors only move here): the host mirror feeds resets/pushes,
         # where f32 inverse noise tips knife-edge downstream decisions
         prev_pose = self.last_pose
-        self.last_pose = np.asarray(pose_d, np.float32)
+        pc_corr = rec.get("post_corr")
+        if pc_corr is None:
+            self.last_pose = np.asarray(pose_d, np.float32)
+        else:
+            # rec was dispatched before a BA re-anchor landed on the device
+            # chain (_apply_corr_device): rotate its outputs into the
+            # corrected coordinates it would have produced post-apply
+            self.last_pose = (
+                np.asarray(pose_d) @ pc_corr).astype(np.float32)
         self.rel_motion = (
             self.last_pose @ np.linalg.inv(prev_pose)).astype(np.float32)
         # feed the gate's scale reference only with MOVING steps: during a
@@ -730,10 +819,15 @@ class Frontend:
         n_new = int(np.asarray(n_new_d)) if is_kf else 0
         self._frames_since_kf += 1
         self._last_good_frame = rec["frame_id"]
+        self._resolved_fid = max(self._resolved_fid, rec["frame_id"])
         if is_kf:
             keep, flow_ok, inl, dest, src, anchor_o, valid_o, r_pts = \
                 jax.device_get((keep_d, flow_ok_d, inl_d, dest_d, src_d,
                                 anchor_d, valid_d, r_pts_d))
+            if pc_corr is not None:
+                # fresh triangulations are in pre-correction coordinates
+                ic = np.linalg.inv(pc_corr)
+                r_pts = r_pts @ ic[:3, :3].T + ic[:3, 3]
             # demote landmarks that were confidently tracked but rejected
             # by the pose solve (reference clears outlier features' map
             # points, src/LoopHandler.cc:850-855)
@@ -1189,9 +1283,24 @@ class Frontend:
         # nontrivial, which is exactly the apply-time whiplash that made
         # async BA look "unstable on long runs".
         self._kf_pose = (self._kf_pose @ corr).astype(np.float32)
-        # device landmark/pose state is now stale: rebuild before the next
-        # dispatch (sync path) or redo the in-flight frame (pipelined path)
-        self._state_dirty = True
+        if (self.cfg.ba.apply_mode == "device"
+                and self.status is VOStatus.TRACKING):
+            # compose the rigid re-anchor directly into the DEVICE chain
+            # (O(table) device work) instead of marking state dirty: a
+            # dirty flag forces a full host->device push AND a re-dispatch
+            # of every in-flight pipelined frame — with pipeline_depth 8
+            # and a BA apply every ~4 frames that redo tax (~D x 9 ms
+            # device) erased most of the deep pipeline's win (round-4
+            # measurement). The right-multiplied corr commutes with the
+            # frame-to-frame chain, so correcting the newest dispatched
+            # state is equivalent (up to float reassociation) to
+            # re-tracking from the corrected frontier. BAConfig.apply_mode
+            # = "push" restores the bit-exact legacy path.
+            self._apply_corr_device(corr)
+        else:
+            # bootstrap/reset context: host mirrors are authoritative,
+            # rebuild the device chain wholesale before the next dispatch
+            self._state_dirty = True
 
     def _maybe_dump_rejected_solve(self, new_poses, t_corr, r_corr) -> None:
         """Env-gated observability (YA_VO_DUMP_BA_DIR): pickle the window
@@ -1520,18 +1629,18 @@ class Frontend:
     # ------------------------------------------------------------------ #
     def _pipe_step(self, img_dev) -> None:
         """Pipelined frame ingest: dispatch THIS frame's fused step first,
-        then resolve the PREVIOUS frame's gates and FSM bookkeeping — its
-        async device->host copies landed while this frame queued, so the
-        host never blocks on the frame it just dispatched. Keyframe and
-        reset decisions consequently apply one frame late; tracking quality
-        is unaffected because every step re-solves its pose against the
-        landmark set it was given, and a late keyframe only delays anchor
-        replenishment by one frame."""
+        then resolve the OLDEST in-flight frame's gates and FSM bookkeeping
+        once the queue exceeds `tracking.pipeline_depth - 1` — by then its
+        async device->host copies have landed under the newer frames'
+        compute, so the host never blocks on the tunnel's execution->
+        readback latency (~50-100 ms measured; throughput is ~9 ms/step).
+        Keyframe and reset decisions consequently apply up to depth-1
+        frames late; tracking quality is unaffected because every step
+        re-solves its pose against the landmark set it was given, a late
+        keyframe only delays anchor replenishment, and a late reset redoes
+        the queued dispatches against the rebuilt state (device time only,
+        no host sync — see _redo_queue)."""
         self.frame_id += 1
-        if self._ba_pending is not None and self._ba_pending["fut"].done():
-            # async-backend result ready: resolve the in-flight frame first
-            # so the correction applies at a consistent point in the chain
-            self._pipe_flush()
         self._poll_ba()
         img_dev = jnp.asarray(img_dev)
         if (self.status != VOStatus.TRACKING or self.last_img is None
@@ -1542,21 +1651,21 @@ class Frontend:
             self._process_sync(img_dev)
             return
         if self._state_dirty:
-            self._pipe_flush()
-            if self._state_dirty:
-                self._push_state_to_device()
+            # BA apply (or an observer) rebuilt host state between frames:
+            # push it and re-dispatch any queued stale work — no drain
+            self._redo_queue()
         rec = self._dispatch_track(img_dev)
-        prev, self._pending = self._pending, rec
+        self._pending_q.append(rec)
         self.last_img = img_dev
         self.last_kp, self.last_desc = rec["kp"], rec["desc"]
-        if prev is not None:
-            self._resolve_record(prev)
+        depth = max(1, self.cfg.tracking.pipeline_depth)
+        while len(self._pending_q) >= depth:
+            self._resolve_record(self._pending_q.popleft())
 
     def _pipe_flush(self) -> None:
-        """Resolve the in-flight frame (end of sequence / mode switch)."""
-        if self._pending is not None:
-            rec, self._pending = self._pending, None
-            self._resolve_record(rec)
+        """Resolve all in-flight frames (end of sequence / mode switch)."""
+        while self._pending_q:
+            self._resolve_record(self._pending_q.popleft())
 
     def _resolve_record(self, rec: dict) -> None:
         """Finish a previously dispatched frame: gates, keyframe/BA
@@ -1585,23 +1694,40 @@ class Frontend:
         finally:
             self.frame_id = fid
 
-        if dirty and self._pending is not None:
+        if dirty and self._pending_q:
             # rec's resolution rebuilt the device state (reset or BA apply)
-            # — the optimistically dispatched next frame ran against the
-            # OLD state. Re-dispatch it against the fresh state: the wasted
-            # dispatch costs device time but no host sync, and resolved
-            # results stay exactly what the synchronous path would produce.
-            # (A plain device-side keyframe does NOT invalidate anything —
-            # the in-flight frame already tracks against the merged table.)
-            redo, self._pending = self._pending, None
+            # — the optimistically dispatched in-flight frames ran against
+            # the OLD state. Re-dispatch them against the fresh state: the
+            # wasted dispatches cost device time but no host sync, and
+            # resolved results stay exactly what the synchronous path would
+            # produce. (A plain device-side keyframe does NOT invalidate
+            # anything — in-flight frames already track against the merged
+            # table.)
+            self._redo_queue()
+
+    def _redo_queue(self) -> None:
+        """Re-dispatch every queued in-flight frame against freshly pushed
+        device state (after a reset, BA apply, or relocalization rebuilt
+        the host mirrors). Device work only — never blocks on the tunnel.
+        Frames hitting the INIT fallback are handled synchronously, reusing
+        their state-independent extraction."""
+        if self._state_dirty:
+            self._push_state_to_device()
+        if not self._pending_q:
+            return
+        redos = list(self._pending_q)
+        self._pending_q.clear()
+        fid = self.frame_id
+        for redo in redos:
             if self.status == VOStatus.TRACKING:
-                rec2 = self._dispatch_track(redo["img"])
+                rec2 = self._dispatch_track(
+                    redo["img"], pre=(redo["kp"], redo["desc"]))
                 rec2["frame_id"] = redo["frame_id"]
                 # keep the ORIGINAL predecessor pair for a potential reset
-                # bootstrap (self.last_* already points at redo itself)
+                # bootstrap (each original rec stored its true predecessor)
                 rec2["prev_kp"] = redo["prev_kp"]
                 rec2["prev_desc"] = redo["prev_desc"]
-                self._pending = rec2
+                self._pending_q.append(rec2)
                 self.last_img = redo["img"]
                 self.last_kp, self.last_desc = rec2["kp"], rec2["desc"]
             else:
