@@ -1,10 +1,19 @@
-"""Benchmark: steady-state VO tracking throughput at KITTI resolution.
+"""Benchmark: full-pipeline VO throughput at KITTI resolution, PRODUCTION
+gates, photoreal textured imagery.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The workload is the full per-frame tracking path (fused FAST+Harris+BRIEF
-extraction, projection-seeded pyramidal LK, robust pose-only GN) on
-synthetic 1241x376 frames — the same shapes as KITTI seq 00.
+PRIMARY figure (the JSON "value"): frames/s of the complete pipeline —
+on-device ray-cast world render + fused FAST+Harris+BRIEF extraction +
+projection-seeded pyramidal LK + robust pose GN + device-side keyframe
+merge + async windowed Schur BA — over a >=400-frame, >=8 s timed window
+at the UNMODIFIED production config (reference gates min_ba_inliers=100 /
+min_flow_inliers=2, src/LoopHandler.cc:144,151). Round-3 verdict items
+closed here: the timed window is long enough that a single compile stall
+or GC pause cannot move the headline double-digit percent; the
+production-gate textured figure IS the primary and records first; the
+stamps-world softened-gate figure of rounds 1-3 is demoted to a secondary
+field for cross-round continuity.
 
 `vs_baseline` is against the MEASURED reference rate: the reference
 publishes no numbers (its README is a to-do list), so
@@ -14,21 +23,34 @@ std::set, reference src/FastDetector.cc:277-369; per-bit popcount Hamming,
 src/BriefDescriptor.cc:139-160) plus the exact cv::calcOpticalFlowPyrLK
 call (src/LoopHandler.cc:372-375), timed on the reference's own real KITTI
 frame. Result: 310.9 ms/frame = 3.22 fps steady state, recorded in
-native/refbench/BASELINE_MEASURED.json (method: BASELINE.md).
+native/refbench/BASELINE_MEASURED.json (method: BASELINE.md). The
+comparison is conservative in our disfavor: the reference number excludes
+its imread disk I/O, while the primary figure here INCLUDES rendering the
+imagery on the same chip.
 
-Operational hardening (round-2 postmortem: the round-2 bench artifact was
-lost because a stale warm-JAX devserver held the only TPU chip and the
-driver's fresh process hung silently at backend init):
-  * the persistent compile cache is configured via env vars BEFORE any jax
-    import in this process OR its children, so selfcheck kernels hit the
-    cache instead of recompiling inside the driver's timeout budget;
+Scoring guards (a fast-but-wrong pipeline scores 0):
+  * accuracy: raw tracking ATE_sim3 < 0.5 map-units over the ~320-unit
+    route (established level 0.18-0.25; guard at ~2x, vs the route length
+    it is ~0.15% — the round-3 4,000-frame longrun ran at 0.16%);
+  * kernel parity: tools/selfcheck.py must pass on this backend; a
+    timeout/crash is retried once and then counts as NON-scoring
+    (round-3 advisor: a hung parity check must not default to "pass").
+
+Operational hardening (round-2/3 postmortems):
+  * the primary figure is measured FIRST; everything after (refine,
+    stamps secondary, selfcheck) is bounded and cannot lose it;
   * known stale chip holders (tools/devserver.py instances, identified by
     their pidfiles — never by pattern) are killed by exact PID at startup;
   * the kernel-parity selfcheck runs in a SUBPROCESS with a hard timeout,
-    so a hung check degrades to status "timeout" instead of eating the run
-    (the chip frees when the child is killed; this process attaches after);
-  * a watchdog thread heartbeats the current stage to stderr every 20 s so
-    any remaining hang is diagnosable from the driver's captured stderr.
+    so a hung check degrades to a recorded non-scoring status instead of
+    eating the run;
+  * a watchdog thread heartbeats the current stage to stderr every 20 s;
+  * compile-time note: the persistent JAX_COMPILATION_CACHE_DIR below
+    covers CPU/TPU-direct backends but NOT the axon tunnel's
+    remote-compile path — a driver-cold axon run pays ~2-6 min of
+    compiles before the timed loop. Frontend.precompile() pins every
+    steady-state program (including the redo variant) into the warmup
+    phase so none of it can land inside the timed window.
 """
 
 import glob
@@ -118,63 +140,79 @@ def _ref_fps() -> float:
         return 3.216  # last measured value (see BASELINE.md)
 
 
-def _run_selfcheck(timeout_s: float = 240.0) -> str:
-    """Kernel-parity selfcheck in a subprocess with a hard timeout.
+def _run_selfcheck(timeout_s: float = 300.0) -> str:
+    """Kernel-parity selfcheck in a subprocess with a hard timeout and ONE
+    retry (round-3 advisor: "timeout"/"error" must not score).
 
     Returns "pass" | "fail" | "timeout" | "error:<...>". JSON details land
     in SELFCHECK.json. A subprocess (not in-process) so a hung check can be
     killed positively — the chip frees on child exit and this process
-    attaches afterwards; the shared on-disk compile cache keeps the child's
-    compiles warm."""
+    attaches afterwards."""
     if os.environ.get("BENCH_SKIP_SELFCHECK"):
         return "skipped"
     out_path = os.path.join(_HERE, "SELFCHECK.json")
     cmd = [sys.executable, os.path.join(_HERE, "tools", "selfcheck.py")]
-    proc = None
-    try:
-        with open(out_path, "w") as f:
-            proc = subprocess.Popen(cmd, stdout=f, stderr=sys.stderr,
-                                    cwd=_HERE)
-            rc = proc.wait(timeout=timeout_s)
-        return "pass" if rc == 0 else "fail"
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.wait()
-        return "timeout"
-    except Exception as e:  # missing interpreter etc.
-        if proc is not None:
+
+    def one(timeout):
+        proc = None
+        try:
+            with open(out_path, "w") as f:
+                proc = subprocess.Popen(cmd, stdout=f, stderr=sys.stderr,
+                                        cwd=_HERE)
+                rc = proc.wait(timeout=timeout)
+            return "pass" if rc == 0 else "fail"
+        except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()
-        return f"error:{type(e).__name__}"
+            return "timeout"
+        except Exception as e:  # missing interpreter etc.
+            if proc is not None:
+                proc.kill()
+                proc.wait()
+            return f"error:{type(e).__name__}"
+
+    status = one(timeout_s)
+    if status not in ("pass", "fail"):
+        _log(f"selfcheck {status}: retrying once with a longer timeout")
+        status = one(timeout_s * 1.5)
+    return status
 
 
-def _textured_figure(cam_module_ready: bool = True) -> None:
-    """Secondary stderr figure: the textured ray-cast world (the one that
-    exercises real failure modes; the primary synthetic stamps world is
-    easy mode). Never affects the primary JSON line."""
-    import jax
-
-    from ya_vo_tpu.config import VOConfig
+def _stamps_secondary(jax, out: dict) -> None:
+    """Secondary figure: the rounds-1-3 stamps-world workload (synthetic
+    corridor, softened gates min_ba_inliers=20 — the 1,200 seeded
+    landmarks decay below the production gate near the route's end, which
+    the continuously-replenished textured world does not suffer). Kept for
+    cross-round comparability; never affects the primary value."""
+    from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
     from ya_vo_tpu.tracking.frontend import Frontend
-    from ya_vo_tpu.utils.scene import TexturedSequence
+    from ya_vo_tpu.utils import synthetic
     from ya_vo_tpu.viz import evaluation
 
+    H, W = 376, 1241
     n = 40
-    seq = TexturedSequence(n_frames=n, seed=5)
-    cfg = VOConfig(image_height=seq.height, image_width=seq.width)
-    fe = Frontend(cfg, seq.cam)
-    for f in range(6):
-        fe.process(np.asarray(jax.device_get(seq.frame(f))))
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=n, n_landmarks=1200, height=H, width=W,
+        step=0.5, yaw_rate=0.002, seed=11, corridor=True)
+    cfg = VOConfig(
+        image_height=H, image_width=W,
+        features=FeatureConfig(max_keypoints=2048),
+        tracking=TrackConfig(min_ba_inliers=20, min_flow_inliers=5),
+    )
+    fe = Frontend(cfg, cam)
+    for img in imgs[:6]:
+        fe.process(img)
+    fe.precompile()
     t0 = time.perf_counter()
-    fe.run((seq.frame(f) for f in range(6, n)))
+    fe.run(imgs[6:])
     jax.effects_barrier()
     dt = time.perf_counter() - t0
-    gt_cw = np.linalg.inv(seq.poses[:n])
-    est = np.stack(fe.trajectory)
-    ate = evaluation.ate_rmse(est, gt_cw, with_scale=True)
-    _log(f"textured-world figure: {(n - 6) / dt:.2f} frames/s incl. "
-         f"on-device render, ate_sim3={ate:.4f} m, resets={fe.n_resets} "
-         f"(production gates)")
+    ate = evaluation.ate_rmse(
+        np.stack(fe.trajectory), np.linalg.inv(poses_gt), with_scale=True)
+    out["stamps_fps"] = round((n - 6) / dt, 2)
+    out["stamps_ate_m"] = round(float(ate), 4)
+    _log(f"stamps secondary: {out['stamps_fps']} frames/s, "
+         f"ate_sim3={ate:.4f} (softened gates, rounds-1-3 workload)")
 
 
 def main():
@@ -182,99 +220,95 @@ def main():
     _set_stage("kill-stale-holders")
     _kill_stale_holders()
 
-    _set_stage("selfcheck-subprocess")
-    selfcheck_status = _run_selfcheck()
-    _log(f"kernel selfcheck: {selfcheck_status} (details in SELFCHECK.json)")
-
     _set_stage("jax-init")
     import jax
 
+    from ya_vo_tpu.config import VOConfig
     from ya_vo_tpu.tracking.frontend import Frontend
-    from ya_vo_tpu.config import VOConfig, TrackConfig, FeatureConfig
-    from ya_vo_tpu.utils import synthetic
+    from ya_vo_tpu.utils.scene import TexturedSequence
+    from ya_vo_tpu.viz import evaluation
 
     _log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
 
-    _set_stage("render-sequence")
-    H, W = 376, 1241
-    n_frames = 40
-    imgs, poses_gt, lms, cam = synthetic.render_sequence(
-        n_frames=n_frames, n_landmarks=1200, height=H, width=W,
-        step=0.5, yaw_rate=0.002, seed=11, corridor=True,
-    )
+    # ---------------- PRIMARY: textured world, production config --------
+    _set_stage("primary-build-world")
+    N = 410
+    WARM = 8
+    seq = TexturedSequence(n_frames=N, seed=5)
+    cfg = VOConfig()   # UNMODIFIED production defaults — reference gates
+    fe = Frontend(cfg, seq.cam)
 
-    # operating point: the FSM gates are softened vs the production config
-    # (reference gates: min_ba_inliers=100, min_flow_inliers=2 —
-    # src/LoopHandler.cc:144,151 / config.py TrackConfig). The bench scene
-    # seeds 1200 landmarks; decay along the 40-frame route dips tracked
-    # inliers below 100 near the end, which would trigger resets the real
-    # KITTI workload (2048 keypoints/frame, continuous replenishment) does
-    # not see. Disclosed here per round-2 verdict; the textured secondary
-    # figure below runs PRODUCTION gates.
-    tweaked = dict(min_ba_inliers=20, min_flow_inliers=5)
-    _log(f"gate overrides vs production config: {tweaked}")
-    cfg = VOConfig(
-        image_height=H, image_width=W,
-        features=FeatureConfig(max_keypoints=2048),
-        tracking=TrackConfig(**tweaked),
-        # default config otherwise: backend BA async on its own thread
-        # (config.py BAConfig.asynchronous) — the bench measures what
-        # users get
-    )
-    fe = Frontend(cfg, cam)
-
-    _set_stage("warmup-compile")
-    warm = 6
-    for img in imgs[:warm]:
-        fe.process(img)
-
-    _set_stage("timed-loop")
+    _set_stage("primary-warmup-compile")
+    # isolate steady-state render throughput (dispatch 12, block once)
+    f0 = seq.frame(0)
+    f0.block_until_ready()
     t0 = time.perf_counter()
-    fe.run(imgs[warm:])   # prefetches the next frame's upload under compute
+    rend = [seq.frame(f) for f in range(1, 13)]
+    jax.block_until_ready(rend)
+    render_ms = (time.perf_counter() - t0) / 12 * 1e3
+    for f in range(WARM):
+        fe.process(np.asarray(jax.device_get(seq.frame(f))))
+    fe.precompile()   # incl. the redo/step_pre variant — see docstring
+
+    _set_stage("primary-timed-loop")
+    t0 = time.perf_counter()
+    fe.run((seq.frame(f) for f in range(WARM, N)), pipelined=True)
     jax.effects_barrier()
     dt = time.perf_counter() - t0
-    fps = (n_frames - warm) / dt
+    fps = (N - WARM) / dt
 
-    _set_stage("evaluate")
-    # accuracy guard: bench numbers only count if tracking actually worked.
-    # BOTH the raw tracking ATE and the refined ATE are reported; offline
-    # global refinement (ba/global_refine.py) runs OUTSIDE the timed loop —
-    # it is part of the framework's capability, not the per-frame cost.
-    from ya_vo_tpu.ba.global_refine import global_refine
-    from ya_vo_tpu.viz import evaluation
-    gt_cw = np.linalg.inv(poses_gt)
-    ate_raw = evaluation.ate_rmse(
-        np.stack(fe.trajectory), gt_cw, with_scale=True)
-    traj = global_refine(fe)
-    ate = evaluation.ate_rmse(traj, gt_cw, with_scale=True)
-    # guards: tracking must have worked AND the kernels must agree with
-    # reference math on this backend — a fast-but-wrong kernel scores 0.
-    # selfcheck "timeout"/"error" degrade to a visible non-pass status
-    # without zeroing the score (the round-2 verdict's "skipped, not hung").
-    ok = ate < 1.0 and selfcheck_status != "fail"
+    _set_stage("primary-evaluate")
+    gt_cw = np.linalg.inv(seq.poses[:N])
+    est = np.stack(fe.trajectory)
+    ate_raw = evaluation.ate_rmse(est, gt_cw, with_scale=True)
+    _log(f"PRIMARY: {fps:.2f} frames/s incl on-device render "
+         f"({dt:.1f} s / {N - WARM} frames), ate_sim3={ate_raw:.4f}, "
+         f"resets={fe.n_resets}, ba_runs={fe.n_ba_runs}, "
+         f"render={render_ms:.1f} ms/frame (production gates)")
 
-    _log(f"{fps:.2f} frames/s ({dt*1e3/(n_frames-warm):.1f} ms/frame), "
-         f"ate_raw_tracking={ate_raw:.4f} m, ate_refined={ate:.4f} m, "
-         f"resets={fe.n_resets}, backend={jax.default_backend()}")
-
-    _set_stage("textured-figure")
-    if time.perf_counter() - _T0 < 150:
-        try:
-            _textured_figure()
-        except Exception as e:
-            _log(f"textured figure skipped: {type(e).__name__}: {e}")
-    else:
-        _log("textured figure skipped (time budget)")
-
-    print(json.dumps({
-        "metric": "vo_tracking_fps_kitti_res",
-        "value": round(fps if ok else 0.0, 3),
+    out = {
+        "metric": "vo_pipeline_fps_kitti_res_production",
+        "value": 0.0,              # filled after guards
         "unit": "frames/s",
-        "vs_baseline": round((fps if ok else 0.0) / _ref_fps(), 3),
-        "selfcheck": selfcheck_status,
+        "vs_baseline": 0.0,
+        "timed_frames": N - WARM,
+        "timed_seconds": round(dt, 1),
+        "render_ms_per_frame": round(render_ms, 1),
         "ate_raw_m": round(float(ate_raw), 4),
-        "ate_refined_m": round(float(ate), 4),
-    }))
+        "resets": fe.n_resets,
+        "production_gates": True,
+    }
+
+    # ---------------- bounded extras (cannot lose the primary) ----------
+    _set_stage("offline-refine")
+    try:
+        from ya_vo_tpu.ba.global_refine import global_refine
+        traj = global_refine(fe)
+        ate_ref = evaluation.ate_rmse(traj, gt_cw, with_scale=True)
+        out["ate_refined_m"] = round(float(ate_ref), 4)
+    except Exception as e:
+        _log(f"offline refine skipped: {type(e).__name__}: {e}")
+
+    if time.perf_counter() - _T0 < 600:
+        _set_stage("stamps-secondary")
+        try:
+            _stamps_secondary(jax, out)
+        except Exception as e:
+            _log(f"stamps secondary skipped: {type(e).__name__}: {e}")
+    else:
+        _log("stamps secondary skipped (time budget)")
+
+    _set_stage("selfcheck-subprocess")
+    del fe, seq, rend, f0   # free the chip's HBM for the child process
+    selfcheck_status = _run_selfcheck()
+    out["selfcheck"] = selfcheck_status
+    _log(f"kernel selfcheck: {selfcheck_status} (details in SELFCHECK.json)")
+
+    # guards: see module docstring
+    ok = (float(ate_raw) < 0.5) and selfcheck_status in ("pass", "skipped")
+    out["value"] = round(fps if ok else 0.0, 3)
+    out["vs_baseline"] = round((fps if ok else 0.0) / _ref_fps(), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -67,9 +67,18 @@ def _solve_window_span(fe, k0: int, k1: int, iters: int) -> None:
         obs_lm=jnp.asarray(lm_compact),
         obs_valid=jnp.asarray(ok_p),
     )
+    # Trust-region prior on every window pose (same mechanism as the live
+    # backend, BAConfig.pose_prior_weight): forward-motion monocular
+    # windows have a near-null scale mode, and with 2 x passes of
+    # overlapping sweeps the unconstrained ratchet COMPOUNDS — measured
+    # round 4 on a 410-frame textured route, priorless refinement made
+    # ATE_sim3 3x WORSE than the raw online trajectory (0.21 -> 0.60)
+    # while w=100 left it at 0.20. The online poses being refined are
+    # already BA-refined estimates, trustworthy anchors for the prior.
     res = ba_window.solve_window(
         prob, fe.cam, iters=iters, huber_delta=bc.huber_delta,
-        damping=bc.damping, n_fixed_poses=min(2, n_real))
+        damping=bc.damping, n_fixed_poses=min(2, n_real),
+        pose_prior_weight=bc.pose_prior_weight)
     new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
     new_poses = new_poses[:n_real]
     if not (np.all(np.isfinite(new_poses)) and np.all(np.isfinite(new_lms))):

@@ -107,16 +107,23 @@ def load_image_gray(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
 
 
-def load_gt_poses(base_path: str, sequence: str) -> Optional[np.ndarray]:
-    """Ground-truth trajectory [N, 4, 4] (cam0->world), or None if absent."""
-    path = os.path.join(base_path, "poses", f"{sequence}.txt")
-    if not os.path.exists(path):
-        return None
+def load_poses(path: str) -> np.ndarray:
+    """Load a KITTI 12-number-row poses file as [N, 4, 4] (cam->world) —
+    the inverse of `save_trajectory_kitti` (reference poses-file
+    semantics: src/Utils.cc:39-64 reads the same row layout)."""
     rows = np.loadtxt(path).reshape(-1, 3, 4)
     n = rows.shape[0]
     poses = np.tile(np.eye(4), (n, 1, 1))
     poses[:, :3, :4] = rows
     return poses
+
+
+def load_gt_poses(base_path: str, sequence: str) -> Optional[np.ndarray]:
+    """Ground-truth trajectory [N, 4, 4] (cam0->world), or None if absent."""
+    path = os.path.join(base_path, "poses", f"{sequence}.txt")
+    if not os.path.exists(path):
+        return None
+    return load_poses(path)
 
 
 def save_trajectory_kitti(path: str, poses_cam_to_world: np.ndarray) -> None:

@@ -514,6 +514,26 @@ class Frontend:
             rec["post_corr"] = corr if rec["post_corr"] is None \
                 else (rec["post_corr"] @ corr).astype(np.float32)
 
+    def precompile(self) -> None:
+        """Compile the steady-state programs (fused step + its cached-
+        extraction redo variant) for this session's shapes WITHOUT touching
+        the state chain — call after bootstrap, before a timed loop, so the
+        first mid-run BA redo or reset doesn't stall on a cold jit (axon
+        remote compiles take minutes; one landing inside a timed window
+        invalidates the figure)."""
+        if (self._d_kf_img is None or self.last_img is None
+                or self.last_kp is None):
+            return
+        state_in = (self._d_kf_img, self.last_img, self._d_anchor_uv,
+                    self._d_track_valid, self._d_lm_pos, self._d_pose,
+                    self._d_rel, self._d_kf_desc, self._d_kf_uv,
+                    self._d_kf_mask, self._d_kf_pose, self._d_kf_ref,
+                    self._d_fsk, self._d_slot_stamp,
+                    np.int32(self.frame_id), np.int32(0))
+        o1 = self._track_step(*state_in)
+        o2 = self._track_step_pre(self.last_kp, self.last_desc, *state_in)
+        jax.block_until_ready((o1[3], o2[3]))
+
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
         (needed before checkpointing mid-segment — between keyframes the
@@ -1391,40 +1411,33 @@ class Frontend:
         kf_uv = np.asarray(self._kf_kp.uv)
         live = self.track_valid & (self.track_lm >= 0)
         live &= self.map.landmark_alive[np.maximum(self.track_lm, 0)]
-        cell = 8.0
         r_assoc = 4.0
-        grid = {}
-        for j in np.nonzero(live)[0]:
-            a = self.track_anchor_uv[j]
-            grid.setdefault((int(a[0] // cell), int(a[1] // cell)),
-                            []).append(j)
-
-        def nearest_slot(u, v):
-            cu, cv = int(u // cell), int(v // cell)
-            best_j, best_d = None, r_assoc * r_assoc
-            for du in (-1, 0, 1):
-                for dv in (-1, 0, 1):
-                    for j in grid.get((cu + du, cv + dv), ()):
-                        a = self.track_anchor_uv[j]
-                        d = (a[0] - u) ** 2 + (a[1] - v) ** 2
-                        if d < best_d:
-                            best_j, best_d = j, d
-            return best_j
-
         K_cap = self.cfg.features.max_keypoints
         pts_w = np.zeros((K_cap, 3), np.float32)
         uv_cur = np.zeros((K_cap, 2), np.float32)
         lm_sel = np.full(K_cap, -1, np.int32)
-        n = 0
         uv2 = np.asarray(kp.uv)
-        for i in np.nonzero(mmask)[0]:
-            j = nearest_slot(kf_uv[i, 0], kf_uv[i, 1])
-            if j is None:
-                continue
-            pts_w[n] = self.map.landmark_pos[self.track_lm[j]]
-            uv_cur[n] = uv2[idx2[i]]
-            lm_sel[n] = self.track_lm[j]
-            n += 1
+        live_idx = np.nonzero(live)[0]
+        mi_all = np.nonzero(mmask)[0]
+        n = 0
+        if live_idx.size and mi_all.size:
+            # batched nearest-anchor association (round-3 verdict weak #5:
+            # the former dict-grid looped interpreted Python per match,
+            # exactly when the system was least healthy). One [M, L]
+            # distance matrix (<=2048^2 f32 = 16 MB) + argmin replaces it;
+            # result identical — r_assoc(4) < the old 8 px grid cell, so
+            # the 3x3-cell search already saw every candidate in radius.
+            q = kf_uv[mi_all]                           # [M, 2]
+            anchors = self.track_anchor_uv[live_idx]    # [L, 2]
+            d2 = ((q[:, None, :] - anchors[None, :, :]) ** 2).sum(-1)
+            jbest = np.argmin(d2, axis=1)
+            ok = d2[np.arange(len(mi_all)), jbest] < r_assoc * r_assoc
+            sel = live_idx[jbest[ok]]                   # track-table slots
+            n = int(ok.sum())
+            lm_hit = self.track_lm[sel]
+            pts_w[:n] = self.map.landmark_pos[lm_hit]
+            uv_cur[:n] = uv2[idx2[mi_all[ok]]]
+            lm_sel[:n] = lm_hit
         # acceptance: a quarter of the tracking gate (PnP against known
         # 3-D points is far better conditioned than two-view tracking; the
         # chi2 gate inside the robust GN already rejects false poses, and

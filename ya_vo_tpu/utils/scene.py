@@ -339,13 +339,16 @@ def render_frame(
     big = jnp.float32(1e9)
     init = (jnp.full((H, W), big),                       # best t
             jnp.zeros((H, W)), jnp.zeros((H, W)),        # best a, b
-            jnp.zeros((H, W, 4)),                        # best atlas rect
-            jnp.zeros((H, W)))                           # best texel density
+            jnp.full((H, W), -1, jnp.int32))             # best quad index
 
     # quads are intersected in CHUNKS of 8, vectorized over the chunk, with
     # the ray/plane algebra expanded to per-quad scalars so no [C, H, W, 3]
-    # intermediate exists: a 64-step scalar scan spent 32 ms/frame on
-    # sequential-step overhead; 8 vectorized steps cut that to a few ms.
+    # intermediate exists (a 64-step scalar scan spent 32 ms/frame on
+    # sequential-step overhead). Each chunk member folds into the carry
+    # with plain selects on a QUAD-INDEX carry — per-pixel argmin +
+    # take_along_axis + a per-step [H, W, 4] rect gather cost ~90 ms/frame
+    # of XLA gather lowering (round-4 profile); the index carry replaces
+    # all of it with one tiny [Q]-table lookup after the scan.
     CH = 8
     Q = origin.shape[0]
     pad_q = (-Q) % CH
@@ -357,8 +360,8 @@ def render_frame(
         return x.reshape((-1, CH) + x.shape[1:])
 
     def hit_chunk(carry, q):
-        bt, ba, bb, brect, bden = carry
-        o, v1, v2, rect, ok = q                          # [C, ...]
+        bt, ba, bb, bqi = carry
+        o, v1, v2, ok, qidx = q                          # [C, ...]
         n = jnp.cross(v1, v2)                            # [C, 3]
         hp = jax.lax.Precision.HIGHEST
         denom = jnp.einsum("hwk,ck->chw", d_w, n, precision=hp)
@@ -378,27 +381,27 @@ def render_frame(
         z = tt * d_cam[None, ..., 2]
         good = (ok[:, None, None] & (z > 0.2)
                 & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0))
-        den = rect[:, 2] * jnp.sqrt(inv_v1)
-        # nearest hit within the chunk, then fold into the carry
         tt_m = jnp.where(good, tt, big)
-        ci = jnp.argmin(tt_m, axis=0)                    # [H, W]
-        c_t = jnp.take_along_axis(tt_m, ci[None], axis=0)[0]
-        c_a = jnp.take_along_axis(a, ci[None], axis=0)[0]
-        c_b = jnp.take_along_axis(b, ci[None], axis=0)[0]
-        c_rect = rect[ci]                                # [H, W, 4]
-        c_den = den[ci]
-        win = c_t < bt
-        bt = jnp.where(win, c_t, bt)
-        ba = jnp.where(win, c_a, ba)
-        bb = jnp.where(win, c_b, bb)
-        brect = jnp.where(win[..., None], c_rect, brect)
-        bden = jnp.where(win, c_den, bden)
-        return (bt, ba, bb, brect, bden), None
+        # fold the chunk sequentially (static unroll): strict < keeps the
+        # earliest quad on ties, matching the host reference tracer
+        for c in range(CH):
+            win = tt_m[c] < bt
+            bt = jnp.where(win, tt_m[c], bt)
+            ba = jnp.where(win, a[c], ba)
+            bb = jnp.where(win, b[c], bb)
+            bqi = jnp.where(win, qidx[c], bqi)
+        return (bt, ba, bb, bqi), None
 
-    qs = (chunked(origin), chunked(e1), chunked(e2), chunked(atlas),
-          chunked(valid, fill=False))
-    (bt, ba, bb, brect, bden), _ = jax.lax.scan(hit_chunk, init, qs)
-    hit = bt < big / 2
+    inv_v1_all = 1.0 / jnp.maximum(jnp.einsum("qk,qk->q", e1, e1), 1e-9)
+    den_q = atlas[:, 2] * jnp.sqrt(inv_v1_all)           # texel density [Q]
+    qs = (chunked(origin), chunked(e1), chunked(e2),
+          chunked(valid, fill=False),
+          chunked(jnp.arange(Q, dtype=jnp.int32), fill=-1))
+    (bt, ba, bb, bqi), _ = jax.lax.scan(hit_chunk, init, qs)
+    hit = bqi >= 0
+    qi = jnp.maximum(bqi, 0)
+    brect = atlas[qi]                                    # [H, W, 4]
+    bden = den_q[qi]
 
     # texture coords (level 0 texels) + lod from the texel footprint:
     # screen px covers (t / fx_eff) meters -> t * density / fx texels
@@ -413,9 +416,14 @@ def render_frame(
 
     # trilinear mip sampling against ONE flattened texture: per pixel only
     # the two adjacent levels matter, so gather 2 levels x 4 bilinear taps
-    # (8 big gathers) instead of sampling every level (20). TPU has no
-    # hardware gather — the taps dominate the renderer (measured 130 ms of
-    # 162 ms at 5 levels; this cuts them 2.5x).
+    # (8 big gathers) instead of sampling every level. (A round-4 attempt
+    # to halve the taps with NEAREST-level sampling was REVERTED: the mip
+    # pop as a surface crosses a level boundary is temporally correlated
+    # texture change, and the LK photometric gate started dropping healthy
+    # tracks — the 400-frame longrun route went from 1-2 resets to 11, and
+    # blackout-relocalization recovered at a broken scale. The taps are
+    # NOT the renderer's bottleneck anyway — the per-step argmin/gather
+    # folding was; see the scan above.)
     sizes = np.array([m.shape[0] for m in mips], np.int32)
     level_off = np.concatenate(
         [[0], np.cumsum([m.size for m in mips])])[:-1].astype(np.int32)
