@@ -42,6 +42,17 @@ class FeatureConfig:
     brief_seed: int = 42
     blur_sigma: float = 2.5            # 9x9 sigma 2.5 pre-blur (BriefDescriptor.cc:90)
     blur_ksize: int = 9
+    # Global photometric normalization on ingest (remap every frame to
+    # mean 128 / std 48). DEFAULT OFF — measured round 4 it is actively
+    # HARMFUL on realistic imagery: global frame statistics track scene
+    # COMPOSITION (sky fraction, nearby walls), so pinning them injects
+    # frame-to-frame photometric churn far larger than the slow exposure
+    # drift it was meant to cancel (1,400-frame textured route: 876
+    # resets with it vs 3 without). Exposure robustness belongs at the
+    # LK-window level (zero-mean/ZNCC residuals), not global gain. Kept
+    # as a knob for genuinely exposure-unstable, composition-stable
+    # inputs.
+    photometric_norm: bool = False
 
 
 @dataclass(frozen=True)
@@ -91,6 +102,15 @@ class TrackConfig:
     keyframe_min_inlier_ratio: float = 0.5
     min_keyframe_gap: int = 1          # frames between keyframes unless
                                        # tracking is close to the failure gate
+    # Rotation trigger: keyframe once the camera has rotated this many
+    # degrees since the last keyframe. DEFAULT OFF (0) — measured round 4
+    # at 1.5 deg on the textured longrun route it FLOODED keyframes
+    # (1,176 keyframes in 1,400 frames: every turn frame fired), churning
+    # the landmark table and evicting the map out from under the tracker
+    # (432 resets vs 3 stock). The decay + translation triggers already
+    # keep the anchor fresh enough through the route's 0.7 deg/frame
+    # turns. Kept as a knob for slow-translation / fast-pan rigs.
+    keyframe_max_rotation_deg: float = 0.0
     # parallax trigger: keyframe once the camera has translated this far
     # (map units; the two-view bootstrap fixes the unit) since the last
     # keyframe, even if inliers are healthy. Landmark DEPTH accuracy is set

@@ -163,6 +163,27 @@ class Frontend:
 
         self._extract = self._build_extract()
         self._track_step, self._track_step_pre = self._build_track_step()
+        # global photometric normalization on ingest (exposure
+        # compensation — FeatureConfig.photometric_norm): affinely remap
+        # every frame to mean 128 / std 48 so gain/bias drift never
+        # violates LK brightness-constancy against the keyframe template.
+        # Degenerate frames (std < 1, e.g. blackouts) pass through so real
+        # signal loss still fails the gates. Idempotent, so the redo path
+        # reusing already-normalized images is safe.
+        if self.cfg.features.photometric_norm:
+            @jax.jit
+            def _norm(img):
+                f = img.astype(jnp.float32)
+                mu = jnp.mean(f)
+                sd = jnp.std(f)
+                ok = sd >= 1.0
+                g = jnp.where(ok, 48.0 / jnp.maximum(sd, 1e-3), 1.0)
+                out = (f - mu) * g + jnp.where(ok, 128.0, mu)
+                return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+            self._norm_img = _norm
+        else:
+            self._norm_img = None
         self._kf_since_ba = 0
         self._frames_since_kf = 0
         # backend thread state
@@ -390,6 +411,13 @@ class Frontend:
                 c_kf = -kf_pose[:3, :3].T @ kf_pose[:3, 3]
                 want_kf |= (jnp.linalg.norm(c_now - c_kf)
                             > tc.keyframe_max_translation)
+            if tc.keyframe_max_rotation_deg > 0:
+                # rotation trigger (TrackConfig.keyframe_max_rotation_deg):
+                # keep the anchor fresh through turns
+                R_rel = solve.pose[:3, :3] @ kf_pose[:3, :3].T
+                cos_r = jnp.clip((jnp.trace(R_rel) - 1.0) * 0.5, -1.0, 1.0)
+                want_kf |= jnp.degrees(jnp.arccos(cos_r)) \
+                    > tc.keyframe_max_rotation_deg
             urgent = n_ba < jnp.int32(decay_floor)
             want_kf &= urgent | (fsk + 1 >= jnp.int32(tc.min_keyframe_gap))
             # a frame that fails the FSM gates resets on the host instead —
@@ -563,7 +591,10 @@ class Frontend:
         before returning. `run()` uses the pipelined path instead."""
         self.frame_id += 1
         self._poll_ba()
-        return self._process_sync(jnp.asarray(img))
+        img_dev = jnp.asarray(img)
+        if self._norm_img is not None:
+            img_dev = self._norm_img(img_dev)
+        return self._process_sync(img_dev)
 
     def _process_sync(self, img_dev) -> FrameResult:
         t0 = time.perf_counter()
@@ -1656,6 +1687,8 @@ class Frontend:
         self.frame_id += 1
         self._poll_ba()
         img_dev = jnp.asarray(img_dev)
+        if self._norm_img is not None:
+            img_dev = self._norm_img(img_dev)
         if (self.status != VOStatus.TRACKING or self.last_img is None
                 or self._kf_img is None):
             # bootstrap paths are rare and inherently host-driven: drain the

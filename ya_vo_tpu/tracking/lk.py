@@ -138,6 +138,14 @@ def _track_level(
         v1 = uv[:, 1:2] + dv[None, :]
         I = _bilinear(img1, u1, v1)
         err = I - T                              # [N, P]
+        # ZERO-MEAN residuals (bias-invariant KLT): a camera gain/bias
+        # drift between the template keyframe and the current frame adds a
+        # near-constant offset to every window pixel; raw SSD turns that
+        # offset into a spurious gradient-correlated step that walks the
+        # track off the true corner. Subtracting the window-mean error
+        # removes the photometric DC term exactly (standard zero-mean
+        # SSD), leaving the geometric misalignment signal.
+        err = err - jnp.mean(err, axis=1, keepdims=True)
         bx = jnp.sum(err * gx, axis=1)
         by = jnp.sum(err * gy, axis=1)
         b = jnp.stack([bx, by], axis=-1)         # [N, 2]
@@ -150,7 +158,11 @@ def _track_level(
 
     uv1 = jax.lax.fori_loop(0, iters, body, uv1)
 
-    # final residual + template contrast (for the normalized residual gate)
+    # final residual + template contrast (for the normalized residual
+    # gate). The gate residual stays RAW |I - T| (unlike the zero-meaned
+    # solve): the DC term between the anchor template and a frame a few
+    # steps later is tiny under realistic exposure drift, but a large DC
+    # offset is a legitimate mistrack signal the gate must keep.
     I = _bilinear(img1, uv1[:, 0:1] + du[None, :], uv1[:, 1:2] + dv[None, :])
     residual = jnp.mean(jnp.abs(I - T), axis=1)
     t_mean = jnp.mean(T, axis=1)

@@ -148,6 +148,9 @@ def _lk_level_kernel(
                 ru, rv, it, _ = carry
                 I = _sample_window(img1_ref, ru, rv, 11, H, W)
                 err = I - T
+                # zero-mean residuals: photometric-bias invariance,
+                # identical to lk.py's jnp path (see its comment)
+                err = err - jnp.mean(err)
                 bx = jnp.sum(err * gx)
                 by = jnp.sum(err * gy)
                 du = -(iG00 * bx + iG01 * by)
@@ -163,6 +166,7 @@ def _lk_level_kernel(
                 cond, body, (ru0, rv0, jnp.int32(0), jnp.float32(1e9)))
 
             I = _sample_window(img1_ref, ru, rv, 11, H, W)
+            # raw gate residual (solve above is zero-mean; see lk.py)
             res = jnp.mean(jnp.abs(I - T))
 
             out_uv_ref[k, 0] = ru
