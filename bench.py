@@ -231,14 +231,21 @@ def main():
     _log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
 
     # ---------------- PRIMARY: textured world, production config --------
+    # Weather-proof protocol (round-4 verdict): the tunnel's 2x run-to-run
+    # variance (docs/PERF.md) means ONE timed window records weather, not
+    # the code. So: (a) the timed window runs BENCH_REPS times (default 3)
+    # and the HEADLINE is the MEDIAN, with min/max recorded as error bars;
+    # (b) a tunnel-independent DEVICE throughput figure is recorded
+    # alongside (Frontend.device_throughput_probe: 200 chained fused-step
+    # dispatches, one terminal block — latency and weather amortize out).
     _set_stage("primary-build-world")
     N = 410
     WARM = 8
+    REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
     seq = TexturedSequence(n_frames=N, seed=5)
     cfg = VOConfig()   # UNMODIFIED production defaults — reference gates
-    fe = Frontend(cfg, seq.cam)
+    gt_cw = np.linalg.inv(seq.poses[:N])
 
-    _set_stage("primary-warmup-compile")
     # isolate steady-state render throughput (dispatch 12, block once)
     f0 = seq.frame(0)
     f0.block_until_ready()
@@ -246,38 +253,69 @@ def main():
     rend = [seq.frame(f) for f in range(1, 13)]
     jax.block_until_ready(rend)
     render_ms = (time.perf_counter() - t0) / 12 * 1e3
-    for f in range(WARM):
-        fe.process(np.asarray(jax.device_get(seq.frame(f))))
-    fe.precompile()   # incl. the redo/step_pre variant — see docstring
 
-    _set_stage("primary-timed-loop")
-    t0 = time.perf_counter()
-    fe.run((seq.frame(f) for f in range(WARM, N)), pipelined=True)
-    jax.effects_barrier()
-    dt = time.perf_counter() - t0
-    fps = (N - WARM) / dt
+    fps_reps, ate_reps, resets_reps, discard_reps = [], [], [], []
+    fe = None
+    probe = {}
+    for rep in range(REPS):
+        _set_stage(f"primary-warmup-compile-rep{rep}")
+        fe = Frontend(cfg, seq.cam)
+        for f in range(WARM):
+            fe.process(np.asarray(jax.device_get(seq.frame(f))))
+        fe.precompile()   # incl. the redo/step_pre variant — see docstring
 
-    _set_stage("primary-evaluate")
-    gt_cw = np.linalg.inv(seq.poses[:N])
-    est = np.stack(fe.trajectory)
-    ate_raw = evaluation.ate_rmse(est, gt_cw, with_scale=True)
-    _log(f"PRIMARY: {fps:.2f} frames/s incl on-device render "
-         f"({dt:.1f} s / {N - WARM} frames), ate_sim3={ate_raw:.4f}, "
-         f"resets={fe.n_resets}, ba_runs={fe.n_ba_runs}, "
-         f"render={render_ms:.1f} ms/frame (production gates)")
+        _set_stage(f"primary-timed-loop-rep{rep}")
+        t0 = time.perf_counter()
+        fe.run((seq.frame(f) for f in range(WARM, N)), pipelined=True)
+        jax.effects_barrier()
+        dt = time.perf_counter() - t0
+        fps_reps.append((N - WARM) / dt)
+
+        est = np.stack(fe.trajectory)
+        ate = float(evaluation.ate_rmse(est, gt_cw, with_scale=True))
+        ate_reps.append(ate)
+        resets_reps.append(fe.n_resets)
+        discard_reps.append(fe.n_ba_discarded)
+        _log(f"rep {rep}: {fps_reps[-1]:.2f} frames/s incl on-device "
+             f"render ({dt:.1f} s / {N - WARM} frames), ate_sim3={ate:.4f},"
+             f" resets={fe.n_resets}, ba_runs={fe.n_ba_runs}, "
+             f"ba_discarded={fe.n_ba_discarded}")
+        if rep == 0:
+            _set_stage("device-throughput-probe")
+            try:
+                probe = fe.device_throughput_probe(rend[:4], n_steps=200)
+                _log(f"device throughput: {probe['fps_device']} steps/s "
+                     f"({probe['device_step_ms']} ms/step, tunnel-"
+                     f"independent)")
+            except Exception as e:
+                _log(f"device probe skipped: {type(e).__name__}: {e}")
+
+    fps = float(np.median(fps_reps))
+    ate_raw = float(np.median(ate_reps))
+    _log(f"PRIMARY (median of {REPS}): {fps:.2f} frames/s "
+         f"[{min(fps_reps):.2f}, {max(fps_reps):.2f}], "
+         f"ate_sim3={ate_raw:.4f}, render={render_ms:.1f} ms/frame "
+         f"(production gates)")
 
     out = {
         "metric": "vo_pipeline_fps_kitti_res_production",
         "value": 0.0,              # filled after guards
         "unit": "frames/s",
         "vs_baseline": 0.0,
+        "reps": REPS,
+        "fps_reps": [round(x, 2) for x in fps_reps],
+        "fps_min": round(min(fps_reps), 2),
+        "fps_max": round(max(fps_reps), 2),
         "timed_frames": N - WARM,
-        "timed_seconds": round(dt, 1),
         "render_ms_per_frame": round(render_ms, 1),
-        "ate_raw_m": round(float(ate_raw), 4),
-        "resets": fe.n_resets,
+        "ate_raw_m": round(ate_raw, 4),
+        "ate_reps": [round(x, 4) for x in ate_reps],
+        "resets": int(max(resets_reps)),
+        "resets_reps": resets_reps,
+        "ba_discarded_reps": discard_reps,
         "production_gates": True,
     }
+    out.update(probe)
 
     # ---------------- bounded extras (cannot lose the primary) ----------
     _set_stage("offline-refine")
@@ -304,8 +342,11 @@ def main():
     out["selfcheck"] = selfcheck_status
     _log(f"kernel selfcheck: {selfcheck_status} (details in SELFCHECK.json)")
 
-    # guards: see module docstring
-    ok = (float(ate_raw) < 0.5) and selfcheck_status in ("pass", "skipped")
+    # guards: see module docstring. A SKIPPED selfcheck (BENCH_SKIP_SELFCHECK
+    # dev knob) must not masquerade as a fully guarded figure (round-4
+    # advisor): only a real "pass" scores. Dev runs still see the fps in the
+    # stderr log and the non-value fields.
+    ok = (float(ate_raw) < 0.5) and selfcheck_status == "pass"
     out["value"] = round(fps if ok else 0.0, 3)
     out["vs_baseline"] = round((fps if ok else 0.0) / _ref_fps(), 3)
     print(json.dumps(out))

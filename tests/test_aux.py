@@ -204,3 +204,49 @@ def test_unknown_config_keys_warn_not_raise():
     assert cfg.matching.abs_threshold == 25
     assert cfg.tracking.min_ba_inliers == 50
     assert any("max_matches" in str(x.message) for x in w)
+
+
+def test_checkpoint_mid_pipeline_flushes_inflight(tmp_path):
+    """Checkpointing while the pipelined ingest queue holds in-flight
+    frames must flush them first (round-4 advisor, medium): without the
+    flush, sync_host_state snapshots the dispatched device frontier's
+    track_uv/track_valid against resolved-frontier track_lm/last_pose,
+    and the resumed session associates slot coordinates with the wrong
+    landmarks."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ya_vo_tpu.tracking.frontend import Frontend
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=12, n_landmarks=500, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7)
+    cfg = make_config(sync_ba=True)
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, pipeline_depth=8))
+
+    fe1 = Frontend(cfg, cam)
+    for img in imgs[:3]:
+        fe1.process(img)          # bootstrap synchronously
+    for img in imgs[3:8]:
+        fe1._pipe_step(jnp.asarray(img))   # leave frames IN FLIGHT
+    assert len(fe1._pending_q) > 0, "precondition: in-flight frames"
+    path = str(tmp_path / "state.npz")
+    ckpt.save_frontend(fe1, path)
+    # the save flushed the pipeline: host trajectory covers every frame fed
+    assert len(fe1._pending_q) == 0
+    assert len(fe1.trajectory) == 8
+
+    fe2 = Frontend(cfg, cam)
+    ckpt.load_frontend(fe2, path)
+    for img in imgs[8:]:
+        fe2.process(img)
+
+    fe_ref = Frontend(cfg, cam)
+    fe_ref.run(imgs)
+    gt_cw = np.linalg.inv(poses_gt)
+    ate_resumed = evaluation.ate_rmse(np.stack(fe2.trajectory), gt_cw)
+    ate_ref = evaluation.ate_rmse(np.stack(fe_ref.trajectory), gt_cw)
+    assert fe2.n_resets == 0
+    assert ate_resumed < max(0.05, 2 * ate_ref), (ate_resumed, ate_ref)

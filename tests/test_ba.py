@@ -138,3 +138,40 @@ def test_global_refine_improves_or_preserves(tmp_path):
     assert np.all(np.isfinite(refined))
     assert ate_refined < max(0.06, 1.2 * ate_online), (
         ate_refined, ate_online)
+
+
+def test_window_landmark_cap_keeps_best_constrained():
+    """When a window holds more landmarks than max_window_landmarks, the
+    capacity selection must keep multi-observation landmarks over
+    single-observation ones (round-4 verdict: the old `used[:cap]` slice
+    evicted by slot order, blind to constraint strength)."""
+    from ya_vo_tpu.ba.window import select_window_landmarks
+
+    W, O = 4, 32
+    rng = np.random.default_rng(3)
+    # landmarks 0..9: observed in every window keyframe (well-constrained);
+    # landmarks 10..59: one observation each (weakly constrained)
+    lm_p = np.full((W, O), -1, np.int32)
+    ok_p = np.zeros((W, O), bool)
+    for w in range(W):
+        lm_p[w, :10] = np.arange(10)
+        ok_p[w, :10] = True
+    singles = np.arange(10, 60)
+    for i, lm in enumerate(singles):
+        w, o = i % W, 10 + i // W
+        lm_p[w, o] = lm
+        ok_p[w, o] = True
+    alive = np.ones(100, bool)
+
+    used, n_drop, n_drop_obs = select_window_landmarks(lm_p, ok_p, alive, 30)
+    assert n_drop == 30 and n_drop_obs == 30
+    # every multi-obs landmark survives; the drops are all singles
+    assert set(range(10)) <= set(used.tolist())
+    assert len(used) == 30
+    # dead landmarks never selected
+    alive[:5] = False
+    used2, _, _ = select_window_landmarks(lm_p, ok_p, alive, 30)
+    assert not (set(range(5)) & set(used2.tolist()))
+    # under-capacity: identity, no drops
+    used3, d3, o3 = select_window_landmarks(lm_p, ok_p, alive, 1000)
+    assert d3 == 0 and o3 == 0

@@ -5,25 +5,53 @@ The reference's target workload is KITTI odometry sequences of 1,000-4,541
 frames (reference: tests/LoopHandlerTest.cc:29-30 pins seq 00 = 4,541
 frames); round 1 never ran past 40. This script drives the full pipeline
 over an arbitrarily long procedurally generated street route and reports
-one JSON line: fps, resets, lifecycle counters (evictions / recycled slots
-/ dropped landmarks — the last must be 0), Sim(3) ATE and RPE.
+one JSON line per variant: fps, resets, lifecycle counters (evictions /
+recycled slots / dropped landmarks — the last must be 0), Sim(3) ATE and
+RPE — and WRITES the combined record to `docs/LONGRUN.json` (the committed
+long-run evidence artifact; the reference's analog is its published
+trajectory screenshots, /root/reference/misc/kitti01.png, misc/mapping.png).
 
-Usage: python tools/longrun.py [n_frames] [seed]
+Two texture variants run by default:
+  * procedural — the deterministic synthetic street texture;
+  * photo — the same world with real photographic micro-texture blended in
+    (scene.make_texture(photo=...), fed the reference's real 1241x376 KITTI
+    render /root/reference/tests/epilines.png, loaded read-only), so the
+    full-length run carries real image statistics. Skipped (and recorded as
+    skipped) when the reference fixture is absent.
+
+Usage: python tools/longrun.py [--frames N] [--seed S] [--out PATH]
+                               [--no-photo] [--stdout-only]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import resource
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+_REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, _REPO)
+
+DEFAULT_OUT = os.path.join(_REPO, "docs", "LONGRUN.json")
+REF_PHOTO = "/root/reference/tests/epilines.png"
 
 
-def main(n_frames: int = 4000, seed: int = 11) -> dict:
+def _load_photo(path: str = REF_PHOTO):
+    """The reference's real KITTI grayscale render, or None if absent."""
+    if not os.path.exists(path):
+        return None
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"), np.uint8)
+
+
+def main(n_frames: int = 4000, seed: int = 11,
+         photo: "np.ndarray | None" = None) -> dict:
     import jax
 
     from ya_vo_tpu.config import VOConfig
@@ -36,7 +64,7 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
     segments = ((0.0, 220), (0.010, 40), (0.0, 180), (-0.012, 35),
                 (0.0, 260), (0.008, 55), (0.0, 150), (-0.009, 45))
     seq = TexturedSequence(n_frames=n_frames, seed=seed, segments=segments,
-                           light_period=900.0)
+                           light_period=900.0, photo=photo)
     cfg = VOConfig()
     fe = Frontend(cfg, seq.cam)
 
@@ -82,6 +110,7 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
     rpe_t, rpe_r = rpe(est, gt_cw, delta=10)
     out = {
         "n_frames": n_frames,
+        "texture": "photo" if photo is not None else "procedural",
         "backend": jax.default_backend(),
         "fps_incl_render": round((n_frames - warm) / wall, 2),
         "render_ms_per_frame": round(render_ms, 2),
@@ -95,6 +124,7 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
         "scale_drift_rms_log": round(scale_drift(est, gt_cw)["rms_log"], 4),
         "relocalizations": fe.n_relocalizations,
         "ba_discarded": fe.n_ba_discarded,
+        "ba_capacity_lm_dropped": fe.n_ba_lm_dropped,
         "evicted_keyframes": stats["n_evicted_keyframes"],
         "recycled_slots": stats["n_recycled"],
         "retired_slots": stats["n_retired"],
@@ -128,7 +158,49 @@ def main(n_frames: int = 4000, seed: int = 11) -> dict:
     return out
 
 
+def cli(argv=None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--frames", type=int, default=4000)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--out", default=DEFAULT_OUT,
+                    help="artifact path (default docs/LONGRUN.json)")
+    ap.add_argument("--no-photo", action="store_true",
+                    help="skip the photo-textured variant")
+    ap.add_argument("--stdout-only", action="store_true",
+                    help="do not write the artifact file")
+    # positional back-compat: `longrun.py 4000 11`
+    ap.add_argument("legacy", nargs="*", type=int)
+    a = ap.parse_args(argv)
+    if a.legacy:
+        a.frames = a.legacy[0]
+        if len(a.legacy) > 1:
+            a.seed = a.legacy[1]
+
+    record = {
+        "generated_by": "tools/longrun.py",
+        "date": time.strftime("%Y-%m-%d"),
+        "frames_per_variant": a.frames,
+        "seed": a.seed,
+        "variants": {},
+    }
+    record["variants"]["procedural"] = main(a.frames, a.seed)
+    if a.no_photo:
+        record["variants"]["photo"] = {"skipped": "--no-photo"}
+    else:
+        ph = _load_photo()
+        if ph is None:
+            record["variants"]["photo"] = {
+                "skipped": f"reference fixture absent ({REF_PHOTO})"}
+        else:
+            record["variants"]["photo"] = main(a.frames, a.seed, photo=ph)
+
+    if not a.stdout_only:
+        with open(a.out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"[longrun] wrote {a.out}", file=sys.stderr)
+    return record
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    s = int(sys.argv[2]) if len(sys.argv) > 2 else 11
-    main(n, s)
+    cli()

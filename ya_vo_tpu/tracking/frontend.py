@@ -193,6 +193,10 @@ class Frontend:
         self._ba_pending = None
         self._ba_deferred = False
         self.n_ba_discarded = 0
+        # capacity-cap landmark drops across all window solves (longrun
+        # reports this; selection is by window obs count, see
+        # ba/window.select_window_landmarks)
+        self.n_ba_lm_dropped = 0
         # staleness backoff: on a slow host every solve can take longer
         # than max_stale_keyframes of tracking, so every result would be
         # discarded and the backend busy-loop on futile solves with BA
@@ -561,6 +565,56 @@ class Frontend:
         o1 = self._track_step(*state_in)
         o2 = self._track_step_pre(self.last_kp, self.last_desc, *state_in)
         jax.block_until_ready((o1[3], o2[3]))
+
+    def device_throughput_probe(self, imgs, n_steps: int = 200) -> dict:
+        """Measure the fused tracking step's PURE DEVICE throughput:
+        dispatch `n_steps` chained steps with no host read between them,
+        block once at the end. The axon tunnel's 50-100 ms dispatch->
+        readback latency and its 2x run-to-run "weather" (docs/PERF.md)
+        cancel out of this figure — one latency amortized over n_steps —
+        so it is the tunnel-independent per-chip rate the end-to-end bench
+        converges to under ideal transport. Runs on a THROWAWAY copy of
+        the device state chain (self._d_* is untouched); call only in
+        TRACKING state after precompile().
+
+        `imgs` : sequence of device-resident frames to cycle through
+        (>=2 recommended so LK sees real inter-frame motion).
+        Returns {"device_step_ms", "fps_device", "n_steps"}.
+        """
+        if self._d_kf_img is None:
+            raise RuntimeError("probe requires an initialized track chain")
+        imgs = [jnp.asarray(im) for im in imgs]
+        if self._norm_img is not None:
+            imgs = [self._norm_img(im) for im in imgs]
+        cap_left = np.int32(self.map.free_landmark_capacity)
+        o = None
+        s = (self._d_kf_img, None, self._d_anchor_uv, self._d_track_valid,
+             self._d_lm_pos, self._d_pose, self._d_rel, self._d_kf_desc,
+             self._d_kf_uv, self._d_kf_mask, self._d_kf_pose,
+             self._d_kf_ref, self._d_fsk, self._d_slot_stamp)
+
+        def step(i):
+            nonlocal o, s
+            img = imgs[i % len(imgs)]
+            _, _, o, _ = self._track_step(
+                s[0], img, *s[2:], np.int32(self.frame_id + 1 + i),
+                cap_left)
+            # state_out order: (anchor_uv, track_valid, lm_pos, pose, rel,
+            # kf_desc, kf_uv, kf_mask, kf_pose, kf_img, kf_ref, fsk,
+            # track_uv, slot_stamp) -> next state_in (img slot filled above)
+            s = (o[9], None, o[0], o[1], o[2], o[3], o[4], o[5], o[6],
+                 o[7], o[8], o[10], o[11], o[13])
+
+        step(0)                      # warm (already compiled; fill queues)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for i in range(1, n_steps + 1):
+            step(i)
+        jax.block_until_ready(o)
+        dt = time.perf_counter() - t0
+        return {"device_step_ms": round(dt / n_steps * 1e3, 2),
+                "fps_device": round(n_steps / dt, 2),
+                "n_steps": n_steps}
 
     def sync_host_state(self) -> None:
         """Pull the device-resident track table into the host mirrors
@@ -1134,14 +1188,15 @@ class Frontend:
         # L_cap slice of the 16k global array would waste 4x compute and a
         # 16k-landmark device->host pull per run)
         L_cap = bc.max_window_landmarks
-        used = np.unique(lm_p[ok_p & (lm_p >= 0)])
-        used = used[self.map.landmark_alive[used]]
-        if len(used) > L_cap:
+        used, n_drop, n_drop_obs = ba_window.select_window_landmarks(
+            lm_p, ok_p, self.map.landmark_alive, L_cap)
+        if n_drop:
+            self.n_ba_lm_dropped += n_drop
             _log.warning(
-                "window BA landmark cap: dropping %d of %d window landmarks "
-                "(max_window_landmarks=%d) — their observations are ignored "
-                "this solve", len(used) - L_cap, len(used), L_cap)
-            used = used[:L_cap]
+                "window BA landmark cap: dropping the %d least-observed of "
+                "%d window landmarks (%d observations, "
+                "max_window_landmarks=%d) — the best-constrained ones are "
+                "kept", n_drop, len(used) + n_drop, n_drop_obs, L_cap)
         remap = np.full(self.map.max_landmarks, -1, np.int32)
         remap[used] = np.arange(len(used), dtype=np.int32)
         lm_compact = np.where(lm_p >= 0, remap[np.maximum(lm_p, 0)], -1)
@@ -1766,8 +1821,16 @@ class Frontend:
         fid = self.frame_id
         for redo in redos:
             if self.status == VOStatus.TRACKING:
-                rec2 = self._dispatch_track(
-                    redo["img"], pre=(redo["kp"], redo["desc"]))
+                # dispatch under the redo frame's OWN id: the kernel stamps
+                # keyframe-merged slots with frame_no (_d_slot_stamp), and a
+                # too-new stamp makes _apply_corr_device misclassify those
+                # slots as in-flight for up to depth-1 extra frames
+                self.frame_id = redo["frame_id"]
+                try:
+                    rec2 = self._dispatch_track(
+                        redo["img"], pre=(redo["kp"], redo["desc"]))
+                finally:
+                    self.frame_id = fid
                 rec2["frame_id"] = redo["frame_id"]
                 # keep the ORIGINAL predecessor pair for a potential reset
                 # bootstrap (each original rec stored its true predecessor)

@@ -13,6 +13,13 @@ import numpy as np
 
 
 def save_frontend(fe, path: str) -> None:
+    if hasattr(fe, "_pipe_flush"):
+        # resolve the pipelined in-flight queue FIRST: at pipeline_depth=8
+        # up to 7 dispatched frames are ahead of the resolved frontier, and
+        # sync_host_state would otherwise mix the dispatched device frontier
+        # (track_uv/track_valid) with resolved-frontier host state
+        # (track_lm, last_pose, trajectory) — a corrupt snapshot
+        fe._pipe_flush()
     if hasattr(fe, "finish"):
         fe.finish()  # drain in-flight backend BA: snapshot is consistent
     if hasattr(fe, "sync_host_state"):

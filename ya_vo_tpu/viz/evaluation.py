@@ -61,6 +61,21 @@ def ate_rmse(
     return float(np.sqrt(np.mean(np.sum((aligned - gt_pos) ** 2, axis=-1))))
 
 
+def ate_trace(
+    est_wc: np.ndarray, gt_cw: np.ndarray, with_scale: bool = True
+) -> np.ndarray:
+    """Per-frame position error [N] after global (Sim(3)) alignment — the
+    pointwise trace whose RMS is `ate_rmse`. For diagnosing WHERE along a
+    route drift accumulates (reset sites, discarded-BA stretches)."""
+    est_pos = positions_from_poses(est_wc)
+    gt_pos = gt_cw[:, :3, 3]
+    n = min(len(est_pos), len(gt_pos))
+    est_pos, gt_pos = est_pos[:n], gt_pos[:n]
+    R, t, s = umeyama_alignment(est_pos, gt_pos, with_scale)
+    aligned = (s * (R @ est_pos.T)).T + t
+    return np.linalg.norm(aligned - gt_pos, axis=-1)
+
+
 def sim3_scale(est_wc: np.ndarray, gt_cw: np.ndarray) -> float:
     """Global monocular scale: the Sim(3) (Umeyama) scale factor aligning
     estimated camera centers to ground truth."""
