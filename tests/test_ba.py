@@ -175,3 +175,53 @@ def test_window_landmark_cap_keeps_best_constrained():
     # under-capacity: identity, no drops
     used3, d3, o3 = select_window_landmarks(lm_p, ok_p, alive, 1000)
     assert d3 == 0 and o3 == 0
+
+
+def test_global_refine_recovers_injected_drift():
+    """Offline refinement must actually refine (round-4 verdict weak #5:
+    a 13% ATE nudge is indistinguishable from a no-op). Harness: track a
+    synthetic sequence, then inject a smooth known pose wobble into every
+    keyframe (wavelength ~ the BA window span — exactly the error class
+    windowed sweeps CAN observe); the map's landmarks/observations still
+    encode the true geometry, so global_refine must pull the poses back.
+    Asserts >= 50% of the injected keyframe-center error is recovered —
+    fails if refinement ever degrades to a no-op."""
+    from ya_vo_tpu.ba.global_refine import global_refine
+    from ya_vo_tpu.core import lie
+    from ya_vo_tpu.tracking.frontend import Frontend
+    from ya_vo_tpu.utils import synthetic
+    from tests.test_frontend_e2e import make_config
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=20, n_landmarks=600, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=7)
+    fe = Frontend(make_config(sync_ba=True, apply_mode="push"), cam)
+    fe.run(imgs)
+    m = fe.map
+    n_kf = m.n_keyframes
+    assert n_kf >= 6, n_kf
+
+    kf_true = m.kf_pose[:n_kf].copy()
+
+    def centers(poses):
+        return -np.einsum("kij,ki->kj", poses[:, :3, :3], poses[:, :3, 3])
+
+    # smooth wobble, zero at the first two (gauge) keyframes
+    import jax.numpy as jnp
+    for k in range(2, n_kf):
+        ph = 2 * np.pi * (k - 2) / 6.0
+        d = np.array([0.06 * np.sin(ph), -0.05 * np.cos(ph),
+                      0.04 * np.sin(ph * 0.7),
+                      0.004 * np.sin(ph), 0.003 * np.cos(ph), 0.0],
+                     np.float32)
+        m.kf_pose[k] = np.asarray(
+            lie.se3_exp(jnp.asarray(d)[None])[0]) @ m.kf_pose[k]
+
+    err0 = np.linalg.norm(
+        centers(m.kf_pose[:n_kf]) - centers(kf_true), axis=1).mean()
+    assert err0 > 0.03, err0          # the injection is non-trivial
+
+    global_refine(fe, passes=2)
+    err1 = np.linalg.norm(
+        centers(m.kf_pose[:n_kf]) - centers(kf_true), axis=1).mean()
+    assert err1 < 0.5 * err0, (err0, err1)

@@ -39,6 +39,16 @@ def main(argv=None):
                     help="override ba.pose_prior_weight")
     ap.add_argument("--refine-sweep", action="store_true",
                     help="after the run, try offline-refine variants")
+    ap.add_argument("--apply-mode", default="",
+                    help="override ba.apply_mode (push|device)")
+    ap.add_argument("--maxdepth", type=float, default=0,
+                    help="override tracking.max_depth_baseline_ratio")
+    ap.add_argument("--kf-trans", type=float, default=0,
+                    help="override tracking.keyframe_max_translation")
+    ap.add_argument("--sync", action="store_true",
+                    help="synchronous BA: deterministic ATE for config "
+                         "A/Bs (async apply timing varies with tunnel "
+                         "weather and drowns accuracy deltas)")
     a = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -66,6 +76,18 @@ def main(argv=None):
     if a.prior >= 0:
         cfg = dataclasses.replace(cfg, ba=dataclasses.replace(
             cfg.ba, pose_prior_weight=a.prior))
+    if a.apply_mode:
+        cfg = dataclasses.replace(cfg, ba=dataclasses.replace(
+            cfg.ba, apply_mode=a.apply_mode))
+    if a.sync:
+        cfg = dataclasses.replace(cfg, ba=dataclasses.replace(
+            cfg.ba, asynchronous=False))
+    if a.maxdepth:
+        cfg = dataclasses.replace(cfg, tracking=dataclasses.replace(
+            cfg.tracking, max_depth_baseline_ratio=a.maxdepth))
+    if a.kf_trans:
+        cfg = dataclasses.replace(cfg, tracking=dataclasses.replace(
+            cfg.tracking, keyframe_max_translation=a.kf_trans))
     fe = Frontend(cfg, seq.cam)
 
     rows = []
@@ -75,7 +97,10 @@ def main(argv=None):
             f=res.frame_id, st=res.status, kp=res.n_keypoints,
             flow=res.n_flow_inliers, ba=res.n_ba_inliers,
             new=res.n_new_landmarks, kf=bool(res.is_keyframe),
-            reset=bool(res.reset)))
+            reset=bool(res.reset),
+            # BA apply/discard counters at resolve time: correlates applies
+            # with inlier-count jumps in the per-frame trace
+            nba=fe.n_ba_runs, ndisc=fe.n_ba_discarded))
 
     fe.observers.append(obs)
 

@@ -879,6 +879,7 @@ class Frontend:
             # tracking failed: bootstrap from rec's PREDECESSOR frame pair
             # (self.last_* may already point at a newer dispatched frame in
             # pipelined mode)
+            self._maybe_dump_reset(rec)
             self.last_kp, self.last_desc = rec["prev_kp"], rec["prev_desc"]
             res = self._reset(kp, desc, n_matches=0,
                               n_flow=n_flow, n_ba=n_ba)
@@ -1407,6 +1408,44 @@ class Frontend:
             # bootstrap/reset context: host mirrors are authoritative,
             # rebuild the device chain wholesale before the next dispatch
             self._state_dirty = True
+
+    def _maybe_dump_reset(self, rec: dict) -> None:
+        """Env-gated observability (YA_VO_DUMP_RESET_DIR): dump the failing
+        frame's full slot state — tracked uv, GN inlier mask, landmark
+        links/stamps/positions, poses — so a chi2 inlier collapse can be
+        audited per landmark (which slots failed, how old, what depth)
+        instead of re-derived from counters."""
+        import os
+
+        d = os.environ.get("YA_VO_DUMP_RESET_DIR")
+        if not d:
+            return
+        try:
+            os.makedirs(d, exist_ok=True)
+            (n_flow_d, n_ba_d, _, _, _, _, pose_d, keep_d, flow_ok_d,
+             inl_d, *_rest) = rec["pull"]
+            tl = np.maximum(self.track_lm, 0)
+            np.savez(
+                os.path.join(d, f"reset_f{rec['frame_id']}.npz"),
+                frame_id=rec["frame_id"],
+                n_flow=np.asarray(n_flow_d), n_ba=np.asarray(n_ba_d),
+                pose=np.asarray(pose_d), last_pose=self.last_pose,
+                rel_motion=self.rel_motion,
+                flow_ok=np.asarray(flow_ok_d),
+                gn_inlier=np.asarray(inl_d), keep=np.asarray(keep_d),
+                track_uv=np.asarray(self._d_track_uv),
+                track_lm=self.track_lm,
+                track_valid=np.asarray(self._d_track_valid),
+                anchor_uv=np.asarray(self._d_anchor_uv),
+                lm_pos_dev=np.asarray(self._d_lm_pos),
+                lm_stamp=self.map.landmark_stamp[tl],
+                lm_alive=self.map.landmark_alive[tl],
+                slot_stamp=np.asarray(self._d_slot_stamp),
+            )
+            _log.warning("reset dump written to %s (frame %d)", d,
+                         rec["frame_id"])
+        except Exception:
+            _log.exception("reset dump failed")
 
     def _maybe_dump_rejected_solve(self, new_poses, t_corr, r_corr) -> None:
         """Env-gated observability (YA_VO_DUMP_BA_DIR): pickle the window

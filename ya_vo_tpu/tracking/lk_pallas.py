@@ -98,6 +98,122 @@ def _sample_window(img_ref, ru, rv, size: int, H: int, W: int):
         precision=jax.lax.Precision.HIGHEST)           # [size, size]
 
 
+def _lk_level_kernel_batched(
+    uv0_ref, seed_ref, valid_ref, img0_ref, img1_ref,
+    out_uv_ref, out_eig_ref, out_res_ref, out_std_ref,
+    *, H: int, W: int, iters: int, eps: float,
+):
+    """v3: ONE early-exit while_loop per KPB-keypoint block (the v2 kernel
+    below ran KPB independent while_loops — ~0.7 ms/iteration-equivalent
+    of scalar loop control, the round-4 perf backlog item). The loop
+    carries all KPB positions; each keypoint's update is guarded by its
+    own convergence + slot-validity scalar via lax.cond, so a converged or
+    dead keypoint costs no sampling work, and per-keypoint iterate
+    TRAJECTORIES are identical to v2's (a keypoint updates on every global
+    iteration while active, exactly as its private loop did — pinned by
+    the pallas-vs-jnp parity selfcheck)."""
+    lo = 6.0
+    hi_u = W - 8.0
+    hi_v = H - 8.0
+
+    tmpl = []   # per-keypoint (T, gx, gy, iG00, iG01, iG11) — loop-invariant
+    for k in range(KPB):
+        valid_k = valid_ref[k, 0] > 0
+
+        def make_template(k=k):
+            u0 = uv0_ref[k, 0]
+            v0 = uv0_ref[k, 1]
+            B = _sample_window(img0_ref, u0, v0, 13, H, W)
+            T = B[1:12, 1:12]
+            gx = 0.5 * (B[1:12, 2:13] - B[1:12, 0:11])
+            gy = 0.5 * (B[2:13, 1:12] - B[0:11, 1:12])
+            return T, gx, gy
+
+        def dead_template(k=k):
+            z = jnp.zeros((11, 11), jnp.float32)
+            return z, z, z
+
+        T, gx, gy = jax.lax.cond(valid_k, make_template, dead_template)
+        t_mean = jnp.mean(T)
+        t_std = jnp.sqrt(jnp.maximum(
+            jnp.mean(T * T) - t_mean * t_mean, 0.0))
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        trace = gxx + gyy
+        min_eig = (trace - jnp.sqrt(
+            jnp.maximum(trace * trace - 4.0 * det, 0.0))) \
+            * 0.5 / (11.0 * 11.0)
+        det_safe = jnp.where(jnp.abs(det) < 1e-6, 1e-6, det)
+        tmpl.append((T, gx, gy, gyy / det_safe, -gxy / det_safe,
+                     gxx / det_safe, t_std, min_eig, valid_k))
+
+    ru0 = jnp.stack([jnp.clip(seed_ref[k, 0], lo, hi_u)
+                     for k in range(KPB)])
+    rv0 = jnp.stack([jnp.clip(seed_ref[k, 1], lo, hi_v)
+                     for k in range(KPB)])
+    step0 = jnp.stack([jnp.where(tmpl[k][8], jnp.float32(1e9),
+                                 jnp.float32(0.0)) for k in range(KPB)])
+
+    def cond(carry):
+        _, _, step, it = carry
+        return (it < iters) & jnp.any(step >= eps)
+
+    def body(carry):
+        ru, rv, step, it = carry
+        nru, nrv, nst = [], [], []
+        for k in range(KPB):
+            T, gx, gy, iG00, iG01, iG11, *_ = tmpl[k]
+            act = step[k] >= eps
+
+            def advance(ru_k=ru[k], rv_k=rv[k], T=T, gx=gx, gy=gy,
+                        iG00=iG00, iG01=iG01, iG11=iG11):
+                I = _sample_window(img1_ref, ru_k, rv_k, 11, H, W)
+                err = I - T
+                err = err - jnp.mean(err)
+                bx = jnp.sum(err * gx)
+                by = jnp.sum(err * gy)
+                du = -(iG00 * bx + iG01 * by)
+                dv = -(iG01 * bx + iG11 * by)
+                return (jnp.clip(ru_k + du, lo, hi_u),
+                        jnp.clip(rv_k + dv, lo, hi_v),
+                        jnp.sqrt(du * du + dv * dv))
+
+            def hold(ru_k=ru[k], rv_k=rv[k]):
+                return ru_k, rv_k, jnp.float32(0.0)
+
+            r, v, s = jax.lax.cond(act, advance, hold)
+            nru.append(r)
+            nrv.append(v)
+            nst.append(s)
+        return (jnp.stack(nru), jnp.stack(nrv), jnp.stack(nst), it + 1)
+
+    ru, rv, _, _ = jax.lax.while_loop(
+        cond, body, (ru0, rv0, step0, jnp.int32(0)))
+
+    for k in range(KPB):
+        *_, t_std, min_eig, valid_k = tmpl[k]
+        T = tmpl[k][0]
+
+        @pl.when(valid_ref[k, 0] > 0)
+        def _final(k=k, T=T, t_std=t_std, min_eig=min_eig):
+            I = _sample_window(img1_ref, ru[k], rv[k], 11, H, W)
+            out_uv_ref[k, 0] = ru[k]
+            out_uv_ref[k, 1] = rv[k]
+            out_eig_ref[k, 0] = min_eig
+            out_res_ref[k, 0] = jnp.mean(jnp.abs(I - T))
+            out_std_ref[k, 0] = t_std
+
+        @pl.when(valid_ref[k, 0] <= 0)
+        def _dead(k=k):
+            out_uv_ref[k, 0] = seed_ref[k, 0]
+            out_uv_ref[k, 1] = seed_ref[k, 1]
+            out_eig_ref[k, 0] = jnp.float32(0.0)
+            out_res_ref[k, 0] = jnp.float32(1e9)
+            out_std_ref[k, 0] = jnp.float32(0.0)
+
+
 def _lk_level_kernel(
     uv0_ref, seed_ref, valid_ref, img0_ref, img1_ref,
     out_uv_ref, out_eig_ref, out_res_ref, out_std_ref,
@@ -199,8 +315,15 @@ def _track_level_pallas(img0, img1, uv0, seed, valid, iters: int,
         img1 = jnp.pad(img1, ((0, pad_h), (0, pad_w)))
     H, W = img0.shape
     N = uv0.shape[0]
-    kernel = functools.partial(
-        _lk_level_kernel, H=H, W=W, iters=iters, eps=eps)
+    # YA_VO_LK_KERNEL selects the iteration variant: v2 = per-keypoint
+    # while_loops, v3 = block-batched single while_loop (see
+    # _lk_level_kernel_batched; A/B via tools/bench_lk.py)
+    import os
+
+    kfun = _lk_level_kernel_batched \
+        if os.environ.get("YA_VO_LK_KERNEL", "v2") == "v3" \
+        else _lk_level_kernel
+    kernel = functools.partial(kfun, H=H, W=W, iters=iters, eps=eps)
     if N % KPB != 0:
         raise ValueError(f"keypoint count {N} must be a multiple of {KPB}")
     uv, eig, res, std = pl.pallas_call(

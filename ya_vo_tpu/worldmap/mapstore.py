@@ -85,6 +85,20 @@ class MapStore:
         self.kf_obs_lm = np.full((max_keyframes, max_obs_per_kf), -1,
                                  np.int32)
         self.kf_obs_valid = np.zeros((max_keyframes, max_obs_per_kf), bool)
+        # creation stamp of the linked landmark at observation time: with
+        # slot recycling, (slot id, stamp) — not the slot id alone — names
+        # a landmark for the rest of the session. Offline refinement uses
+        # this to resolve scrubbed links against the retirement archive.
+        self.kf_obs_stamp = np.full((max_keyframes, max_obs_per_kf), -1,
+                                    np.int64)
+        # retirement archive: creation stamp -> last (BA-refined) position
+        # of a landmark retired out of the live window. The LIVE pipeline
+        # never reads this (VO retention contract, see
+        # retire_out_of_window); offline full-session refinement
+        # (ba/global_refine) restores these as solvable geometry so old
+        # windows keep real observations instead of being starved by slot
+        # recycling. Outlier-killed landmarks are deliberately NOT archived.
+        self.archive = {}
 
     # -- landmarks --------------------------------------------------------
     @property
@@ -212,6 +226,11 @@ class MapStore:
         retire = self.landmark_alive[:hwm] & ~keep[:hwm]
         idx = np.nonzero(retire)[0]
         if idx.size:
+            # archive retirements for offline refinement (NOT outlier
+            # kills — kill_landmarks drops bad geometry unarchived)
+            for s, p in zip(self.landmark_stamp[idx],
+                            self.landmark_pos[idx]):
+                self.archive[int(s)] = p.copy()
             self.landmark_alive[idx] = False
             self.n_retired += idx.size
             log.info("retired %d out-of-window landmarks (window=%d, "
@@ -256,7 +275,7 @@ class MapStore:
         k = self.n_keyframes
         for arr in (self.kf_pose, self.kf_frame_id, self.kf_valid,
                     self.kf_stamp, self.kf_obs_uv, self.kf_obs_lm,
-                    self.kf_obs_valid):
+                    self.kf_obs_valid, self.kf_obs_stamp):
             arr[: k - n] = arr[n:k]
         self.kf_valid[k - n: k] = False
         self.kf_obs_valid[k - n: k] = False
@@ -297,6 +316,10 @@ class MapStore:
             self.kf_obs_lm[k, :n] = obs_lm[:n]
             ov = obs_valid[:n] if obs_valid is not None else np.ones(n, bool)
             self.kf_obs_valid[k, :n] = ov & (self.kf_obs_lm[k, :n] >= 0)
+            self.kf_obs_stamp[k, :n] = np.where(
+                self.kf_obs_valid[k, :n],
+                self.landmark_stamp[np.maximum(self.kf_obs_lm[k, :n], 0)],
+                -1)
             if obs_lm is not None:
                 linked = self.kf_obs_lm[k, :n][self.kf_obs_valid[k, :n]]
                 np.add.at(self.landmark_obs_count, linked, 1)
