@@ -194,11 +194,18 @@ def _stamps_secondary(jax, out: dict) -> None:
     imgs, poses_gt, lms, cam = synthetic.render_sequence(
         n_frames=n, n_landmarks=1200, height=H, width=W,
         step=0.5, yaw_rate=0.002, seed=11, corridor=True)
+    import dataclasses
+
     cfg = VOConfig(
         image_height=H, image_width=W,
         features=FeatureConfig(max_keypoints=2048),
         tracking=TrackConfig(min_ba_inliers=20, min_flow_inliers=5),
     )
+    # rounds 1-4 ran this workload with the async backend; pin it so the
+    # continuity figure keeps measuring the same configuration after the
+    # round-5 production default flipped to synchronous BA
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, asynchronous=True))
     fe = Frontend(cfg, cam)
     for img in imgs[:6]:
         fe.process(img)

@@ -225,3 +225,58 @@ def test_global_refine_recovers_injected_drift():
     err1 = np.linalg.norm(
         centers(m.kf_pose[:n_kf]) - centers(kf_true), axis=1).mean()
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_global_refine_uses_retirement_archive():
+    """Slot recycling scrubs old keyframes' observation links; the
+    retirement archive (MapStore.archive + kf_obs_stamp) must restore them
+    for offline refinement, so windows over OLD keyframes still solve with
+    real constraints (round-4: those windows were silently starved).
+    Differential check: with the archive emptied, old-window solves vanish
+    (poses stay put); with it intact, they move."""
+    import dataclasses
+
+    from ya_vo_tpu.ba.global_refine import global_refine
+    from ya_vo_tpu.tracking.frontend import Frontend
+    from ya_vo_tpu.utils import synthetic
+    from tests.test_frontend_e2e import make_config
+
+    imgs, poses_gt, lms, cam = synthetic.render_sequence(
+        n_frames=30, n_landmarks=700, height=256, width=768,
+        step=0.4, yaw_rate=0.004, seed=3)
+    cfg = make_config(sync_ba=True, apply_mode="push")
+    # a tight window so landmarks retire well before the run ends
+    cfg = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, window_size=4))
+    fe = Frontend(cfg, cam)
+    fe.run(imgs)
+    m = fe.map
+    n_kf = m.n_keyframes
+    assert n_kf >= 10, n_kf
+    # this synthetic is easy enough that the live track table protects
+    # most landmarks from in-run retirement; drive the same lifecycle the
+    # textured longrun hits (retire out-of-window + recycle scrubs the old
+    # keyframes' links) explicitly and deterministically
+    m.retire_out_of_window(2)
+    m.recycle_dead()
+    assert len(m.archive) > 50, len(m.archive)   # retirement happened
+
+    kf0 = m.kf_pose[:n_kf].copy()
+    lm0 = m.landmark_pos.copy()
+    arch0 = dict(m.archive)
+
+    # control: starve the archive — old windows must have nothing to solve
+    m.archive = {}
+    global_refine(fe, passes=1)
+    old = slice(2, n_kf // 2)          # away from both gauge ends
+    moved_starved = np.abs(m.kf_pose[old] - kf0[old]).max()
+
+    # restore and refine for real
+    m.kf_pose[:n_kf] = kf0
+    m.landmark_pos[:] = lm0
+    m.archive = arch0
+    global_refine(fe, passes=1)
+    moved_archived = np.abs(m.kf_pose[old] - kf0[old]).max()
+
+    assert moved_archived > 1e-6, moved_archived
+    assert moved_archived > moved_starved, (moved_archived, moved_starved)

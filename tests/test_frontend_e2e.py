@@ -173,12 +173,20 @@ def test_pipelined_matches_sync_through_reset(sequence):
 
 
 def test_async_ba_matches_sync_within_tolerance(sequence):
-    """Async backend BA (the default) must deliver the same accuracy as
-    the synchronous path — the round-1 instability (late first apply after
-    an in-sequence jit compile -> oversized correction) is fixed by init
-    precompile + staleness discard + deferred re-solve."""
+    """The ASYNC backend option must deliver comparable accuracy to the
+    synchronous path on a short easy sequence — the round-1 instability
+    (late first apply after an in-sequence jit compile -> oversized
+    correction) is fixed by init precompile + staleness discard +
+    deferred re-solve. (Round 5 flipped the production default to
+    synchronous — on the tunneled chip async applies land keyframes stale
+    and cost real accuracy on long routes, BAConfig.asynchronous — so
+    async is now pinned explicitly here.)"""
+    import dataclasses
+
     imgs, poses_wc_gt, lms, cam = sequence
-    fe_a = Frontend(make_config(), cam)          # default: asynchronous
+    base = make_config()
+    fe_a = Frontend(dataclasses.replace(
+        base, ba=dataclasses.replace(base.ba, asynchronous=True)), cam)
     assert fe_a.cfg.ba.asynchronous
     traj_a = fe_a.run(imgs)
     fe_a.finish()

@@ -5,6 +5,8 @@ Usage: python tools/bench_lk.py [iters ...]
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -149,6 +149,14 @@ def main(argv=None):
     q = [round(float(np.percentile(err, p)), 3)
          for p in (10, 25, 50, 75, 90, 100)]
     print(f"sim3-aligned per-frame error deciles (10/25/50/75/90/max): {q}")
+    # LOCAL scale along the route: windowed Sim(3) factors. A monotone
+    # slope here (not the rms wander scale_drift reports) is systematic
+    # monocular scale decay — the round-5 diagnosis of the primary's ATE
+    locs = [evaluation.sim3_scale(est[a:a + 60], gt_cw[a:a + 60])
+            for a in range(0, len(est) - 60, 60)]
+    slope_pct = (locs[-1] / locs[0] - 1) * 100 if len(locs) > 1 else 0.0
+    print(f"local sim3 scale by 60-frame window: "
+          f"{[round(s, 4) for s in locs]}  (end/start: {slope_pct:+.2f}%)")
 
     if a.refine_sweep:
         import copy
@@ -164,7 +172,8 @@ def main(argv=None):
             fe.map.landmark_pos[:] = lm_snap
             c0 = fe.cfg
             fe.cfg = copy.deepcopy(c0)
-            object.__setattr__(fe.cfg.ba, "pose_prior_weight", prior)
+            object.__setattr__(fe.cfg.ba, "offline_pose_prior_weight",
+                               prior)
             try:
                 traj_r = global_refine(fe, passes=passes, iters=iters)
             finally:

@@ -158,7 +158,8 @@ def _solve_window_span(fe, k0: int, k1: int, iters: int,
     res = ba_window.solve_window(
         prob, fe.cam, iters=iters, huber_delta=bc.huber_delta,
         damping=bc.damping, n_fixed_poses=min(2, n_real),
-        pose_prior_weight=bc.pose_prior_weight)
+        pose_prior_weight=getattr(bc, "offline_pose_prior_weight",
+                                  bc.pose_prior_weight))
     new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
     new_poses = new_poses[:n_real]
     if not (np.all(np.isfinite(new_poses)) and np.all(np.isfinite(new_lms))):

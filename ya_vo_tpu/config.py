@@ -171,7 +171,22 @@ class BAConfig:
     # than max_stale_keyframes are discarded, and a solve request arriving
     # while one is in flight re-launches on completion with a fresh
     # snapshot instead of being dropped.
-    asynchronous: bool = True
+    #
+    # DEFAULT: SYNCHRONOUS (flipped round 5, measured). On the tunneled
+    # v5e the async path's corrections apply 4-6 keyframes stale (solve
+    # ~150-300 ms wall vs ~15 ms device: readback latency + contention
+    # with the depth-8 pipelined frontend), and the late rigid re-anchors
+    # inject a SYSTEMATIC monocular scale slide (+1.8% over a 410-frame
+    # production route, local-Sim(3) probe) plus occasional chi2 inlier
+    # collapses -> resets. Same commit, same workload, same gates:
+    #   async: ATE_sim3 0.25-0.71 across runs, 0-1 resets, 8.5-21.3 fps
+    #   sync:  ATE_sim3 0.121,     0 resets, 0 discards, 17.3-18.8 fps
+    # The blocking solve costs nothing measurable here because the
+    # per-frame budget is already dominated by the same tunnel latency
+    # the pipeline hides. Async remains fully supported (staleness/
+    # divergence/scale-break gates all tested) for hardware where solve
+    # latency is genuinely small vs the keyframe period.
+    asynchronous: bool = False
     # Discard an async result if this many keyframes were created after its
     # snapshot: the rigid post-hoc correction is only a good approximation
     # near the solved window.
@@ -187,6 +202,14 @@ class BAConfig:
     # the live backend opts in because ITS input poses are fresh tracked
     # estimates, trustworthy to ~0.01 units.
     pose_prior_weight: float = 100.0
+    # Trust-region prior for OFFLINE sweeps (ba/global_refine). Separate
+    # from the live weight: offline windows solve against the COMPLETE
+    # full-session observation set (retirement archive restored), so the
+    # data constrains far more directions and a heavy prior mostly drags
+    # poses back toward the unrefined estimates (round-5 sync sweep:
+    # w=100 gave 2.6%-to-negative refinement; w=10 tracked the data).
+    # 0 stays dangerous (monocular scale-mode ratchet, see above).
+    offline_pose_prior_weight: float = 10.0
     # Backend solver placement: "auto" shards the window's landmark axis
     # over ALL visible devices (parallel/dist_ba.make_dist_solver — one
     # psum of the reduced camera system per GN iteration, riding ICI) when

@@ -1379,6 +1379,10 @@ class Frontend:
             pts = self.map.landmark_pos[idx]
             self.map.landmark_pos[idx] = (
                 pts @ inv_c[:3, :3].T + inv_c[:3, 3])
+        # the retirement archive (offline-refinement geometry) rides the
+        # same re-anchor as every other non-window landmark, else it
+        # drifts out of the map frame apply by apply
+        self.map.transform_archive(np.linalg.inv(corr))
 
         self.last_pose = (self.last_pose @ corr).astype(np.float32)
         # rel_motion (the frame-to-frame velocity T_curr @ T_prev^-1) is

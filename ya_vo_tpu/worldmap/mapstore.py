@@ -238,6 +238,23 @@ class MapStore:
                      int(self.landmark_alive.sum()))
         return int(idx.size)
 
+    def transform_archive(self, T: np.ndarray) -> None:
+        """Move every archived (retired) landmark position by `T` as
+        points (X' = R X + t). MUST be called with the same corr^-1 a BA
+        apply uses for fresh/stranded live landmarks
+        (tracking.frontend._apply_ba_result): the archive is offline-
+        refinement geometry and has to stay in the CURRENT map frame —
+        round-5 measurement: un-transformed archives made offline sweeps
+        pull poses toward stale coordinates and DEGRADED ATE 0.12 -> 0.64."""
+        if not self.archive:
+            return
+        stamps = list(self.archive.keys())
+        P = np.stack([self.archive[s] for s in stamps])
+        P = P @ np.asarray(T[:3, :3], np.float32).T + \
+            np.asarray(T[:3, 3], np.float32)
+        for s, p in zip(stamps, P):
+            self.archive[s] = p
+
     def update_landmark_positions(self, indices: np.ndarray,
                                   positions: np.ndarray) -> None:
         ok = indices >= 0
