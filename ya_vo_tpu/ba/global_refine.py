@@ -43,11 +43,8 @@ def _archive_arrays(m):
     """Sorted (stamps, positions) snapshot of the retirement archive."""
     if not m.archive:
         return np.zeros(0, np.int64), np.zeros((0, 3), np.float32)
-    stamps = np.fromiter(m.archive.keys(), np.int64, len(m.archive))
-    order = np.argsort(stamps)
-    stamps = stamps[order]
-    pos = np.stack([m.archive[int(s)] for s in stamps]).astype(np.float32)
-    return stamps, pos
+    stamps, pos = m.archive.arrays()
+    return stamps.copy(), pos.astype(np.float32).copy()
 
 
 def _solve_window_span(fe, k0: int, k1: int, iters: int,
@@ -167,8 +164,8 @@ def _solve_window_span(fe, k0: int, k1: int, iters: int,
     m.kf_pose[k0:k1] = new_poses
     new_pos = new_lms[: len(uniq)]
     m.landmark_pos[slot_of[is_live]] = new_pos[is_live]
-    for s, p in zip(uniq[~is_live], new_pos[~is_live]):
-        m.archive[int(s)] = p
+    if (~is_live).any():
+        m.archive.update_bulk(uniq[~is_live], new_pos[~is_live])
 
 
 def global_refine(fe, passes: int = 2, iters: Optional[int] = None
@@ -196,8 +193,11 @@ def global_refine(fe, passes: int = 2, iters: Optional[int] = None
         # (keys are stable) so the next pass chains on refined geometry
         nonlocal arch_pos
         if len(arch_stamps):
-            arch_pos = np.stack(
-                [m.archive[int(s)] for s in arch_stamps]).astype(np.float32)
+            s2, p2 = m.archive.arrays()
+            # archive keys are stable across passes; rows may have been
+            # appended (none are removed), so realign by searchsorted
+            rows = np.searchsorted(s2, arch_stamps)
+            arch_pos = p2[rows].astype(np.float32)
 
     # never straddle a monocular scale break
     barrier = int(getattr(m, "window_barrier", 0))

@@ -76,6 +76,23 @@ class RansacConfig:
 
 @dataclass(frozen=True)
 class TrackConfig:
+    # LK template source. "prev": track last frame -> current frame, the
+    # reference's trackLastFrame semantics (cv::calcOpticalFlowPyrLK over
+    # consecutive frames, src/LoopHandler.cc:306-449) — templates are ONE
+    # frame old, so per-frame appearance change (scale/perspective under
+    # forward motion) is ~1% and tracks survive until they leave the FOV
+    # or fail the pose-GN chi2 leash. "anchor": track the anchor KEYFRAME's
+    # image -> current (rounds 1-4 behavior) — drift-free templates, but
+    # at 0.8 units/frame forward motion a near-field template is stale
+    # after ~3 frames and LK's photometric gate kills it: measured
+    # per-frame track loss 20-30%, median track lifetime ~4 frames, track
+    # population pinned at ~1.2x the decay floor, and every route
+    # disturbance (turn, lighting trough, landmark retirement) tipped the
+    # production-gate run into a reset (round-5 longrun: 1,443 resets in
+    # 3,800 frames). With "prev", the same route tracks at 5-10x the
+    # inlier margin. Geometric drift along a track is bounded by the
+    # per-frame chi2 gate against the landmark's reprojection.
+    lk_template: str = "prev"
     # pyramidal LK (reference: 11x11, 3 levels, 30 iters, eps .01,
     # LoopHandler.cc:372-375)
     lk_window: int = 11

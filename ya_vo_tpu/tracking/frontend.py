@@ -147,6 +147,8 @@ class Frontend:
         self._d_kf_mask = jnp.zeros(K_cap, bool)
         self._d_kf_pose = jnp.eye(4, dtype=jnp.float32)
         self._d_kf_img = None          # [H, W] uint8 anchor keyframe image
+        self._d_prev_img = None        # [H, W] previous frame (lk_template
+        #                                "prev": LK template image)
         self._d_kf_ref = jnp.float32(0.0)
         self._d_fsk = jnp.int32(0)     # frames since last keyframe
         # per-slot merge stamp: the frame number whose on-device keyframe
@@ -281,9 +283,9 @@ class Frontend:
         K_cap = fc.max_keypoints
 
         @jax.jit
-        def step(kf_img, img_curr, anchor_uv, track_mask, lm_pos,
-                 pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                 kf_ref, fsk, slot_stamp, frame_no, cap_left):
+        def step(kf_img, img_curr, prev_img, track_uv, anchor_uv,
+                 track_mask, lm_pos, pose, rel, kf_desc, kf_uv, kf_mask,
+                 kf_pose, kf_ref, fsk, slot_stamp, frame_no, cap_left):
             # state-in/state-out: all tracking state stays on device; the
             # host reads back gate scalars + the pose (async copies) and
             # mirrors the keyframe record into the map store at resolve time.
@@ -307,14 +309,16 @@ class Frontend:
             desc, _ = brief.describe(blurred, kp.uv, kp.mask, offsets)
             with jax.default_matmul_precision("float32"):
                 return _step_body(
-                    kp, desc, kf_img, img_curr, anchor_uv, track_mask,
-                    lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                    kf_ref, fsk, slot_stamp, frame_no, cap_left)
+                    kp, desc, kf_img, img_curr, prev_img, track_uv,
+                    anchor_uv, track_mask, lm_pos, pose, rel, kf_desc,
+                    kf_uv, kf_mask, kf_pose, kf_ref, fsk, slot_stamp,
+                    frame_no, cap_left)
 
         @jax.jit
-        def step_pre(kp, desc, kf_img, img_curr, anchor_uv, track_mask,
-                     lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                     kf_ref, fsk, slot_stamp, frame_no, cap_left):
+        def step_pre(kp, desc, kf_img, img_curr, prev_img, track_uv,
+                     anchor_uv, track_mask, lm_pos, pose, rel, kf_desc,
+                     kf_uv, kf_mask, kf_pose, kf_ref, fsk, slot_stamp,
+                     frame_no, cap_left):
             # redo variant: extraction (FAST + blur + BRIEF, ~half the
             # step's device time) is state-INDEPENDENT, so a re-dispatch
             # after a reset/BA push reuses the original dispatch's kp/desc
@@ -322,22 +326,40 @@ class Frontend:
             # match/triangulate + merge)
             with jax.default_matmul_precision("float32"):
                 return _step_body(
-                    kp, desc, kf_img, img_curr, anchor_uv, track_mask,
-                    lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                    kf_ref, fsk, slot_stamp, frame_no, cap_left)
+                    kp, desc, kf_img, img_curr, prev_img, track_uv,
+                    anchor_uv, track_mask, lm_pos, pose, rel, kf_desc,
+                    kf_uv, kf_mask, kf_pose, kf_ref, fsk, slot_stamp,
+                    frame_no, cap_left)
 
-        def _step_body(kp, desc, kf_img, img_curr, anchor_uv, track_mask,
-                       lm_pos, pose, rel, kf_desc, kf_uv, kf_mask, kf_pose,
-                       kf_ref, fsk, slot_stamp, frame_no, cap_left):
+        def _step_body(kp, desc, kf_img, img_curr, prev_img, track_uv,
+                       anchor_uv, track_mask, lm_pos, pose, rel, kf_desc,
+                       kf_uv, kf_mask, kf_pose, kf_ref, fsk, slot_stamp,
+                       frame_no, cap_left):
             T_prior = rel @ pose
 
             pc = lie.transform_points(T_prior, lm_pos)
             seed, z = cam.project(pc)
-            use = track_mask & (z > 0.25)
-            seed = jnp.where(use[:, None], seed, anchor_uv)
+            if tc.lk_template == "prev":
+                # frame-to-frame templates (reference trackLastFrame
+                # semantics — see TrackConfig.lk_template). The seed is the
+                # last tracked position plus the PROJECTED MOTION DELTA:
+                # absolute projection error from a young landmark's noisy
+                # depth mostly cancels in the difference, so the seed lands
+                # within LK's convergence basin even when the absolute
+                # projection is tens of pixels off.
+                pc_prev = lie.transform_points(pose, lm_pos)
+                seed_prev, z_prev = cam.project(pc_prev)
+                use = track_mask & (z > 0.25) & (z_prev > 0.25)
+                seed = jnp.where(use[:, None],
+                                 track_uv + (seed - seed_prev), track_uv)
+                tmpl_img, tmpl_uv = prev_img, track_uv
+            else:
+                use = track_mask & (z > 0.25)
+                seed = jnp.where(use[:, None], seed, anchor_uv)
+                tmpl_img, tmpl_uv = kf_img, anchor_uv
 
             flow = lk.auto_track(
-                kf_img, img_curr, anchor_uv, seed, use,
+                tmpl_img, img_curr, tmpl_uv, seed, use,
                 levels=tc.lk_levels, half=tc.lk_window // 2,
                 iters=tc.lk_iters, eps=tc.lk_eps,
                 max_residual=tc.lk_max_residual,
@@ -462,9 +484,14 @@ class Frontend:
             fsk_o = jnp.where(is_kf, jnp.int32(0), fsk + 1)
             stamp_o = jnp.where(is_kf, stamp_kf, slot_stamp)
 
+            # current-frame uv of every valid slot (keyframe merges write
+            # the fresh slots' positions into anchor_kf): the next frame's
+            # LK template positions under lk_template="prev", and the
+            # host's live-table uv mirror either way
+            track_uv_o = jnp.where(is_kf, anchor_kf, new_track_uv)
             state_out = (anchor_o, valid_o, lm_o, solve.pose, new_rel,
                          kf_desc_o, kf_uv_o, kf_mask_o, kf_pose_o, kf_img_o,
-                         kf_ref_o, fsk_o, new_track_uv, stamp_o)
+                         kf_ref_o, fsk_o, track_uv_o, stamp_o, img_curr)
             record = (n_flow, n_ba, n_kp, n_matches, is_kf, n_new,
                       solve.pose, keep, flow.status, solve.inlier_mask,
                       dest, src, anchor_o, valid_o, r_pts)
@@ -481,6 +508,8 @@ class Frontend:
             self.map.landmark_alive[np.maximum(self.track_lm, 0)]
         self.track_valid = alive
         self._d_anchor_uv = jnp.asarray(self.track_anchor_uv)
+        # live-table uv: LK template positions under lk_template="prev"
+        self._d_track_uv = jnp.asarray(self.track_uv)
         self._d_track_valid = jnp.asarray(alive)
         self._d_lm_pos = jnp.asarray(
             self.map.landmark_pos[np.maximum(self.track_lm, 0)])
@@ -499,6 +528,12 @@ class Frontend:
         self._d_rel = jnp.asarray(self.rel_motion)
         if self._kf_img is not None:
             self._d_kf_img = jnp.asarray(self._kf_img)
+        # invalidate the chain's previous-frame image: the next dispatch
+        # falls back to self.last_img (every driver updates it before its
+        # next dispatch), and redone in-flight frames re-use the template
+        # image their ORIGINAL dispatch used (rec["prev_img"]) — the
+        # correct predecessor regardless of how many pushes intervened
+        self._d_prev_img = None
         self._d_kf_ref = jnp.float32(self._kf_ref_inliers)
         self._d_fsk = jnp.int32(self._frames_since_kf)
         # the table now equals the host mirrors: every slot is "resolved"
@@ -556,7 +591,8 @@ class Frontend:
         if (self._d_kf_img is None or self.last_img is None
                 or self.last_kp is None):
             return
-        state_in = (self._d_kf_img, self.last_img, self._d_anchor_uv,
+        state_in = (self._d_kf_img, self.last_img, self.last_img,
+                    self._d_track_uv, self._d_anchor_uv,
                     self._d_track_valid, self._d_lm_pos, self._d_pose,
                     self._d_rel, self._d_kf_desc, self._d_kf_uv,
                     self._d_kf_mask, self._d_kf_pose, self._d_kf_ref,
@@ -588,7 +624,10 @@ class Frontend:
             imgs = [self._norm_img(im) for im in imgs]
         cap_left = np.int32(self.map.free_landmark_capacity)
         o = None
-        s = (self._d_kf_img, None, self._d_anchor_uv, self._d_track_valid,
+        prev0 = self._d_prev_img if self._d_prev_img is not None \
+            else imgs[0]
+        s = (self._d_kf_img, None, prev0, self._d_track_uv,
+             self._d_anchor_uv, self._d_track_valid,
              self._d_lm_pos, self._d_pose, self._d_rel, self._d_kf_desc,
              self._d_kf_uv, self._d_kf_mask, self._d_kf_pose,
              self._d_kf_ref, self._d_fsk, self._d_slot_stamp)
@@ -601,9 +640,10 @@ class Frontend:
                 cap_left)
             # state_out order: (anchor_uv, track_valid, lm_pos, pose, rel,
             # kf_desc, kf_uv, kf_mask, kf_pose, kf_img, kf_ref, fsk,
-            # track_uv, slot_stamp) -> next state_in (img slot filled above)
-            s = (o[9], None, o[0], o[1], o[2], o[3], o[4], o[5], o[6],
-                 o[7], o[8], o[10], o[11], o[13])
+            # track_uv, slot_stamp, prev_img) -> next state_in (img slot
+            # filled above)
+            s = (o[9], None, o[14], o[12], o[0], o[1], o[2], o[3], o[4],
+                 o[5], o[6], o[7], o[8], o[10], o[11], o[13])
 
         step(0)                      # warm (already compiled; fill queues)
         jax.block_until_ready(o)
@@ -805,7 +845,7 @@ class Frontend:
         return True, info  # caller records keyframe context in process()
 
     # ------------------------------------------------------------------ #
-    def _dispatch_track(self, img, pre=None) -> dict:
+    def _dispatch_track(self, img, pre=None, prev_override=None) -> dict:
         """Dispatch the fused per-frame tracking step and commit the
         device-side state chain — NO host sync happens here.
 
@@ -823,8 +863,15 @@ class Frontend:
         # frame stale in pipelined mode; only matters near a full map) —
         # recycled free-list slots count as capacity
         cap_left = self.map.free_landmark_capacity
+        if prev_override is not None:
+            prev_img = prev_override
+        elif self._d_prev_img is not None:
+            prev_img = self._d_prev_img
+        else:
+            prev_img = self.last_img if self.last_img is not None else img
         state_in = (
-            self._d_kf_img, img, self._d_anchor_uv, self._d_track_valid,
+            self._d_kf_img, img, prev_img, self._d_track_uv,
+            self._d_anchor_uv, self._d_track_valid,
             self._d_lm_pos, self._d_pose, self._d_rel,
             self._d_kf_desc, self._d_kf_uv, self._d_kf_mask,
             self._d_kf_pose, self._d_kf_ref, self._d_fsk,
@@ -845,8 +892,10 @@ class Frontend:
          self._d_pose, self._d_rel,
          self._d_kf_desc, self._d_kf_uv, self._d_kf_mask, self._d_kf_pose,
          self._d_kf_img, self._d_kf_ref, self._d_fsk,
-         self._d_track_uv, self._d_slot_stamp) = state_out
-        return dict(frame_id=self.frame_id, img=img, kp=kp, desc=desc,
+         self._d_track_uv, self._d_slot_stamp,
+         self._d_prev_img) = state_out
+        return dict(frame_id=self.frame_id, img=img, prev_img=prev_img,
+                    kp=kp, desc=desc,
                     prev_kp=self.last_kp, prev_desc=self.last_desc,
                     pull=record, t0=t0, post_corr=None)
 
@@ -1871,7 +1920,8 @@ class Frontend:
                 self.frame_id = redo["frame_id"]
                 try:
                     rec2 = self._dispatch_track(
-                        redo["img"], pre=(redo["kp"], redo["desc"]))
+                        redo["img"], pre=(redo["kp"], redo["desc"]),
+                        prev_override=redo["prev_img"])
                 finally:
                     self.frame_id = fid
                 rec2["frame_id"] = redo["frame_id"]

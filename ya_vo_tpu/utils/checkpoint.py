@@ -54,10 +54,10 @@ def save_frontend(fe, path: str) -> None:
         kf_obs_valid=m.kf_obs_valid[: m.n_keyframes],
         kf_obs_stamp=m.kf_obs_stamp[: m.n_keyframes],
         # retirement archive (offline full-session refinement geometry)
-        archive_stamps=np.fromiter(m.archive.keys(), np.int64,
-                                   len(m.archive)),
-        archive_pos=np.stack(list(m.archive.values())).astype(np.float32)
-        if m.archive else np.zeros((0, 3), np.float32),
+        archive_stamps=(m.archive.arrays()[0] if m.archive
+                        else np.zeros(0, np.int64)),
+        archive_pos=(m.archive.arrays()[1].astype(np.float32) if m.archive
+                     else np.zeros((0, 3), np.float32)),
         # last-frame context so LK/matching continue seamlessly on resume
         last_img=np.asarray(fe.last_img) if fe.last_img is not None
         else np.zeros((0, 0), np.uint8),
@@ -121,8 +121,11 @@ def load_frontend(fe, path: str) -> None:
     m.kf_obs_valid[:nk] = z["kf_obs_valid"]
     if "kf_obs_stamp" in z:          # round-5 checkpoints
         m.kf_obs_stamp[:nk] = z["kf_obs_stamp"]
-        m.archive = {int(s): p for s, p in
-                     zip(z["archive_stamps"], z["archive_pos"])}
+        from ya_vo_tpu.worldmap.mapstore import ArchiveStore
+        arch = ArchiveStore(max(len(z["archive_stamps"]), 4) * 2)
+        if len(z["archive_stamps"]):
+            arch.update_bulk(z["archive_stamps"], z["archive_pos"])
+        m.archive = arch
     if "landmark_stamp" in z:       # lifecycle state (round-2 checkpoints)
         m.landmark_stamp[:nl] = z["landmark_stamp"]
         m._free = [int(i) for i in z["lm_free"]]

@@ -26,6 +26,98 @@ import numpy as np
 log = logging.getLogger("ya_vo_tpu.map")
 
 
+class ArchiveStore:
+    """Retirement archive: creation stamp -> last refined position, backed
+    by growable flat arrays instead of a python dict of 3-vectors.
+
+    Why not a dict: the archive rides every BA re-anchor
+    (`transform_archive`) and grows with every retirement wave — a
+    4,000-frame run retires ~10^5 landmarks, and a per-entry python loop
+    on each of the ~600 BA applies turned the transform into seconds of
+    host time per frame late in the run (round-5 longrun profile). Here
+    the transform is ONE [N,3] matmul and appends are amortized O(1).
+
+    Keeps a dict-compatible surface (len/bool/keys/values/getitem/setitem)
+    so checkpoint/tests that treat it as a mapping keep working.
+    """
+
+    def __init__(self, init_cap: int = 4096):
+        self._stamps = np.zeros(init_cap, np.int64)
+        self._pos = np.zeros((init_cap, 3), np.float32)
+        self._n = 0
+        self._row = {}          # stamp -> row index
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def keys(self):
+        return self._stamps[: self._n]
+
+    def values(self):
+        return list(self._pos[: self._n])
+
+    def __contains__(self, stamp):
+        return int(stamp) in self._row
+
+    def __getitem__(self, stamp):
+        return self._pos[self._row[int(stamp)]]
+
+    def _grow(self, need: int) -> None:
+        cap = len(self._stamps)
+        if self._n + need <= cap:
+            return
+        new_cap = max(cap * 2, self._n + need)
+        self._stamps = np.resize(self._stamps, new_cap)
+        self._pos = np.resize(self._pos, (new_cap, 3))
+
+    def __setitem__(self, stamp, pos):
+        s = int(stamp)
+        r = self._row.get(s)
+        if r is None:
+            self._grow(1)
+            r = self._n
+            self._row[s] = r
+            self._stamps[r] = s
+            self._n += 1
+        self._pos[r] = pos
+
+    def update_bulk(self, stamps: np.ndarray, positions: np.ndarray) -> None:
+        """Insert-or-update many (stamp, position) rows at once."""
+        stamps = np.asarray(stamps, np.int64)
+        positions = np.asarray(positions, np.float32)
+        rows = np.fromiter((self._row.get(int(s), -1) for s in stamps),
+                           np.int64, len(stamps))
+        hit = rows >= 0
+        if hit.any():
+            self._pos[rows[hit]] = positions[hit]
+        n_new = int((~hit).sum())
+        if n_new:
+            self._grow(n_new)
+            r0 = self._n
+            new_stamps = stamps[~hit]
+            self._stamps[r0: r0 + n_new] = new_stamps
+            self._pos[r0: r0 + n_new] = positions[~hit]
+            for i, s in enumerate(new_stamps.tolist()):
+                self._row[s] = r0 + i
+            self._n += n_new
+
+    def transform(self, T: np.ndarray) -> None:
+        """X' = R X + t over the whole archive, one vectorized pass."""
+        if not self._n:
+            return
+        R = np.asarray(T[:3, :3], np.float32)
+        t = np.asarray(T[:3, 3], np.float32)
+        self._pos[: self._n] = self._pos[: self._n] @ R.T + t
+
+    def arrays(self):
+        """(stamps, positions) views sorted by stamp."""
+        order = np.argsort(self._stamps[: self._n], kind="stable")
+        return self._stamps[order], self._pos[order]
+
+
 class MapStore:
     """Fixed-capacity landmark + keyframe store with observation links.
 
@@ -98,7 +190,25 @@ class MapStore:
         # (ba/global_refine) restores these as solvable geometry so old
         # windows keep real observations instead of being starved by slot
         # recycling. Outlier-killed landmarks are deliberately NOT archived.
-        self.archive = {}
+        self._archive = ArchiveStore()
+
+    @property
+    def archive(self) -> ArchiveStore:
+        return self._archive
+
+    @archive.setter
+    def archive(self, value) -> None:
+        # accept a plain mapping (checkpoint restore, tests snapshotting
+        # with dict(m.archive)) and convert
+        if isinstance(value, ArchiveStore):
+            self._archive = value
+            return
+        a = ArchiveStore(max(len(value), 4) * 2)
+        if len(value):
+            stamps = np.fromiter(value.keys(), np.int64, len(value))
+            pos = np.stack([value[int(s)] for s in stamps])
+            a.update_bulk(stamps, pos)
+        self._archive = a
 
     # -- landmarks --------------------------------------------------------
     @property
@@ -228,9 +338,8 @@ class MapStore:
         if idx.size:
             # archive retirements for offline refinement (NOT outlier
             # kills — kill_landmarks drops bad geometry unarchived)
-            for s, p in zip(self.landmark_stamp[idx],
-                            self.landmark_pos[idx]):
-                self.archive[int(s)] = p.copy()
+            self._archive.update_bulk(self.landmark_stamp[idx],
+                                      self.landmark_pos[idx])
             self.landmark_alive[idx] = False
             self.n_retired += idx.size
             log.info("retired %d out-of-window landmarks (window=%d, "
@@ -246,14 +355,7 @@ class MapStore:
         refinement geometry and has to stay in the CURRENT map frame —
         round-5 measurement: un-transformed archives made offline sweeps
         pull poses toward stale coordinates and DEGRADED ATE 0.12 -> 0.64."""
-        if not self.archive:
-            return
-        stamps = list(self.archive.keys())
-        P = np.stack([self.archive[s] for s in stamps])
-        P = P @ np.asarray(T[:3, :3], np.float32).T + \
-            np.asarray(T[:3, 3], np.float32)
-        for s, p in zip(stamps, P):
-            self.archive[s] = p
+        self._archive.transform(np.asarray(T, np.float32))
 
     def update_landmark_positions(self, indices: np.ndarray,
                                   positions: np.ndarray) -> None:
