@@ -159,7 +159,22 @@ class TrackConfig:
 
 @dataclass(frozen=True)
 class MapConfig:
-    max_landmarks: int = 16384
+    # Landmark slot capacity. Host-side cost is trivial (~20 B/slot; the
+    # device table is the separate K_cap-sized track slice), so size it
+    # for the target sequence: live landmarks accrue ~30/frame at the
+    # production keyframe cadence, and 131072 covers a KITTI-00-length
+    # (4,541-frame) run WITHOUT ever entering retirement pressure.
+    # Measured round 5 (longrun route, real chip): each
+    # retire_out_of_window + recycle_dead wave at the old 16384 cap was
+    # followed within ~4 frames by a live-track collapse and a reset
+    # cascade (53 resets by frame 1100; the identical run with retirement
+    # never triggering: 0 resets, every turn and keyframe-block eviction
+    # included). Retirement still guards unbounded sequences; see
+    # MapStore.retire_out_of_window for the wave-size cap that bounds the
+    # damage when it does run. (The reference's Map grows without bound,
+    # include/Map.hpp:29-34 — this default trades a few MB of host RAM
+    # for never hitting the lifecycle cliff on its target workload.)
+    max_landmarks: int = 131072
     max_keyframes: int = 512
     window_size: int = 8               # sliding-window BA keyframes
 

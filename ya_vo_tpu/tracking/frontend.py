@@ -494,7 +494,7 @@ class Frontend:
                          kf_ref_o, fsk_o, track_uv_o, stamp_o, img_curr)
             record = (n_flow, n_ba, n_kp, n_matches, is_kf, n_new,
                       solve.pose, keep, flow.status, solve.inlier_mask,
-                      dest, src, anchor_o, valid_o, r_pts)
+                      dest, src, anchor_o, valid_o, r_pts, track_uv_o)
             return kp, desc, state_out, record
 
         return step, step_pre
@@ -506,6 +506,19 @@ class Frontend:
         see _pipe_step)."""
         alive = self.track_valid & (self.track_lm >= 0) & \
             self.map.landmark_alive[np.maximum(self.track_lm, 0)]
+        dropped = int(self.track_valid.sum()) - int(alive.sum())
+        if dropped > 32:
+            # a push is rebuilding the device table and a large slice of
+            # the live tracks reference DEAD host landmarks — the
+            # storm-precursor signature (round 5); log who they were
+            dd = self.track_valid & ~alive
+            st = self.map.landmark_stamp[np.maximum(self.track_lm[dd], 0)]
+            _log.warning(
+                "device push drops %d/%d live tracks (dead host landmarks);"
+                " victim landmark stamps p10/p50/p90 = %s / %s / %s "
+                "(newest stamp %d)", dropped, int(self.track_valid.sum()),
+                int(np.percentile(st, 10)), int(np.percentile(st, 50)),
+                int(np.percentile(st, 90)), self.map.lm_stamp_counter)
         self.track_valid = alive
         self._d_anchor_uv = jnp.asarray(self.track_anchor_uv)
         # live-table uv: LK template positions under lk_template="prev"
@@ -917,7 +930,7 @@ class Frontend:
         tc = self.cfg.tracking
         (n_flow_d, n_ba_d, n_kp_d, n_match_d, is_kf_d, n_new_d, pose_d,
          keep_d, flow_ok_d, inl_d, dest_d, src_d, anchor_d, valid_d,
-         r_pts_d) = rec["pull"]
+         r_pts_d, track_uv_d) = rec["pull"]
         kp, desc = rec["kp"], rec["desc"]
         n_flow = int(np.asarray(n_flow_d))
         n_ba = int(np.asarray(n_ba_d))
@@ -1029,6 +1042,17 @@ class Frontend:
             self._kf_ref_inliers = n_ba + n_new
             self._frames_since_kf = 0
             self._run_window_ba()
+        else:
+            # keep the host uv/valid mirrors at the RESOLVED frontier even
+            # between keyframes: an ASYNC BA apply can land on a
+            # non-keyframe resolve, and its push+redo rebuilds the device
+            # table from these mirrors — under lk_template="prev" a
+            # keyframe-stale uv mirror would sample the redo frames' LK
+            # templates at positions several frames behind the template
+            # image (measured: stamps-world async ATE 0.0183 -> 0.2627)
+            keep, uv_now = jax.device_get((keep_d, track_uv_d))
+            self.track_valid = self.track_valid & keep
+            self.track_uv = np.where(keep[:, None], uv_now, self.track_uv)
 
         return FrameResult(
             rec["frame_id"], "TRACKING", self.last_pose.copy(),
@@ -1304,52 +1328,57 @@ class Frontend:
             # recover gradually: a transient stall should not permanently
             # loosen the gate
             self._stale_relax = max(0, self._stale_relax - 1)
-            # divergence gate: corrections of a few step lengths are normal
-            # accumulated drift over a wide window and are safe to apply
-            # (the re-anchor is rigid and rel_motion-invariant, see below);
-            # a correction of 10+ steps means the solve diverged and would
-            # teleport the map.
-            # scale reference: running MEDIAN of recent step lengths, not
-            # the instantaneous step — when the camera is (near-)stationary
-            # the instantaneous step collapses to ~0 and the gate would
-            # discard healthy corrections exactly while the vehicle stops
-            inst = float(np.linalg.norm(self.rel_motion[:3, 3]))
-            step = float(np.median(self._recent_steps)) \
-                if self._recent_steps else inst
-            # drift (what corrections repair) scales with distance
-            # traveled, not current speed: floor the scale reference at
-            # 10% of the decaying speed peak so crawling doesn't
-            # over-tighten the gate
-            step = max(step, inst * 0.25, 0.1 * self._peak_step)
-            # measure the CENTER displacement, NOT the translation row of
-            # inv(anchor_old) @ anchor_new: for world->camera poses that
-            # row contains rotation x |camera-to-world-origin| — 700 units
-            # into a route, a healthy 0.1 deg rotational refinement reads
-            # as a phantom |t| ~ 1.3 while the camera center moved 4 cm
-            # (round-3 diagnosis: every "slide" was this artifact)
-            corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
-            c_old = -anchor_old[:3, :3].T @ anchor_old[:3, 3]
-            c_new = -new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3]
-            t_corr = float(np.linalg.norm(c_new - c_old))
-            cosang = (np.trace(corr_try[:3, :3]) - 1.0) / 2.0
-            r_corr = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
-            bc = self.cfg.ba
-            if (t_corr > bc.max_correction_steps * max(step, 1e-3)
-                    or r_corr > bc.max_correction_rot_deg):
-                self.n_ba_discarded += 1
-                kf_now = self.map.kf_pose[slots[-1]]
-                _log.warning(
-                    "discarding async BA result: correction too large to "
-                    "apply post-hoc (|t|=%.3f vs step %.3f, rot=%.2f deg); "
-                    "slots[-1]=%d n_real=%d anchor_old_c=%s kf_now_c=%s "
-                    "new_c=%s",
-                    t_corr, step, r_corr, int(slots[-1]), n_real,
-                    np.round(-anchor_old[:3, :3].T @ anchor_old[:3, 3], 2),
-                    np.round(-kf_now[:3, :3].T @ kf_now[:3, 3], 2),
-                    np.round(-new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3],
-                             2))
-                self._maybe_dump_rejected_solve(new_poses, t_corr, r_corr)
-                return
+        # divergence gate — SYNC applies included (round 5: sync solves on
+        # a lifecycle-degraded window — e.g. right after a keyframe-block
+        # eviction orphan-kills part of the window's landmark set — can
+        # diverge exactly like stale async ones, and they used to apply
+        # unguarded): corrections of a few step lengths are normal
+        # accumulated drift over a wide window and are safe to apply
+        # (the re-anchor is rigid and rel_motion-invariant, see below);
+        # a correction of 10+ steps means the solve diverged and would
+        # teleport the map.
+        # scale reference: running MEDIAN of recent step lengths, not
+        # the instantaneous step — when the camera is (near-)stationary
+        # the instantaneous step collapses to ~0 and the gate would
+        # discard healthy corrections exactly while the vehicle stops
+        inst = float(np.linalg.norm(self.rel_motion[:3, 3]))
+        step = float(np.median(self._recent_steps)) \
+            if self._recent_steps else inst
+        # drift (what corrections repair) scales with distance
+        # traveled, not current speed: floor the scale reference at
+        # 10% of the decaying speed peak so crawling doesn't
+        # over-tighten the gate
+        step = max(step, inst * 0.25, 0.1 * self._peak_step)
+        # measure the CENTER displacement, NOT the translation row of
+        # inv(anchor_old) @ anchor_new: for world->camera poses that
+        # row contains rotation x |camera-to-world-origin| — 700 units
+        # into a route, a healthy 0.1 deg rotational refinement reads
+        # as a phantom |t| ~ 1.3 while the camera center moved 4 cm
+        # (round-3 diagnosis: every "slide" was this artifact)
+        corr_try = np.linalg.inv(anchor_old) @ new_poses[-1]
+        c_old = -anchor_old[:3, :3].T @ anchor_old[:3, 3]
+        c_new = -new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3]
+        t_corr = float(np.linalg.norm(c_new - c_old))
+        cosang = (np.trace(corr_try[:3, :3]) - 1.0) / 2.0
+        r_corr = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+        bc = self.cfg.ba
+        if (t_corr > bc.max_correction_steps * max(step, 1e-3)
+                or r_corr > bc.max_correction_rot_deg):
+            self.n_ba_discarded += 1
+            kf_now = self.map.kf_pose[slots[-1]]
+            _log.warning(
+                "discarding %s BA result: correction too large to "
+                "apply post-hoc (|t|=%.3f vs step %.3f, rot=%.2f deg); "
+                "slots[-1]=%d n_real=%d anchor_old_c=%s kf_now_c=%s "
+                "new_c=%s",
+                "sync" if kf_stamp_snap is None else "async",
+                t_corr, step, r_corr, int(slots[-1]), n_real,
+                np.round(-anchor_old[:3, :3].T @ anchor_old[:3, 3], 2),
+                np.round(-kf_now[:3, :3].T @ kf_now[:3, 3], 2),
+                np.round(-new_poses[-1][:3, :3].T @ new_poses[-1][:3, 3],
+                         2))
+            self._maybe_dump_rejected_solve(new_poses, t_corr, r_corr)
+            return
         self._last_ba_ms = ms
         self.n_ba_runs += 1
 
@@ -1587,7 +1616,14 @@ class Frontend:
         # LK-tracked subpixel positions — a corner FAST re-detects lands
         # within a pixel or two of those, so associate by proximity.
         kf_uv = np.asarray(self._kf_kp.uv)
-        live = self.track_valid & (self.track_lm >= 0)
+        # association pool: every slot that HAD a landmark at the anchor
+        # keyframe (track_lm is rewritten only at keyframe merges), not
+        # just currently-valid tracks — the per-resolve mirror update
+        # (round 5) shrinks track_valid as tracks die, and the tracks lost
+        # during the failing frames are precisely the ones relocalization
+        # must re-find (using track_valid here measurably deepened reset
+        # cascades: 18 -> 38 resets by frame 1000 on the longrun route)
+        live = self.track_lm >= 0
         live &= self.map.landmark_alive[np.maximum(self.track_lm, 0)]
         r_assoc = 4.0
         K_cap = self.cfg.features.max_keypoints

@@ -306,7 +306,8 @@ class MapStore:
         return int(slots.size)
 
     def retire_out_of_window(self, window: int,
-                             protected: Optional[np.ndarray] = None) -> int:
+                             protected: Optional[np.ndarray] = None,
+                             max_per_wave: int = 4096) -> int:
         """Kill live landmarks that no keyframe in the last `window` observes
         and that aren't `protected` (the frontend's live track table).
 
@@ -335,6 +336,13 @@ class MapStore:
         hwm = self.n_landmarks
         retire = self.landmark_alive[:hwm] & ~keep[:hwm]
         idx = np.nonzero(retire)[0]
+        if max_per_wave > 0 and idx.size > max_per_wave:
+            # bound the wave: retiring >10k landmarks in one resolve was
+            # measured (round 5, longrun route) to precede a live-track
+            # collapse within ~4 frames — spread the pressure relief over
+            # several keyframes, oldest creation stamps first
+            order = np.argsort(self.landmark_stamp[idx], kind="stable")
+            idx = idx[order[:max_per_wave]]
         if idx.size:
             # archive retirements for offline refinement (NOT outlier
             # kills — kill_landmarks drops bad geometry unarchived)
