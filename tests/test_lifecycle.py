@@ -95,6 +95,32 @@ def test_retire_out_of_window_frees_unreachable_landmarks():
     assert (idx2 >= 0).all() and m.n_landmarks == 16
 
 
+def test_retire_wave_is_chunked_oldest_first():
+    """A retirement wave is capped at `max_per_wave` slots, oldest
+    creation stamps first — a single >10k-slot wave was measured (round 5,
+    longrun route on the chip) to churn the live table into a reset
+    cascade; chunking spreads the pressure relief across keyframes."""
+    m = MapStore(max_landmarks=64, max_keyframes=8, max_obs_per_kf=8)
+    idx = m.add_landmarks(_pts(20), np.ones(20, bool))
+    # one keyframe observing only the LAST 4 -> the first 16 are
+    # out-of-window candidates
+    obs_lm = np.full(8, -1, np.int32)
+    obs_lm[:4] = idx[16:20]
+    m.insert_keyframe(0, np.eye(4), np.zeros((8, 2)), obs_lm, obs_lm >= 0)
+
+    n = m.retire_out_of_window(1, max_per_wave=6)
+    assert n == 6, f"wave not capped: {n}"
+    # oldest stamps (== lowest, creation order) went first
+    assert not m.landmark_alive[idx[:6]].any()
+    assert m.landmark_alive[idx[6:16]].all()
+    # the rest drains on subsequent waves
+    n2 = m.retire_out_of_window(1, max_per_wave=6)
+    n3 = m.retire_out_of_window(1, max_per_wave=6)
+    assert n2 == 6 and n3 == 4
+    assert not m.landmark_alive[idx[:16]].any()
+    assert m.landmark_alive[idx[16:20]].all()
+
+
 def test_keyframe_eviction_shifts_and_orphans():
     m = MapStore(max_landmarks=64, max_keyframes=4, max_obs_per_kf=8)
     idx = m.add_landmarks(_pts(12), np.ones(12, bool))
