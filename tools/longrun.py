@@ -63,8 +63,15 @@ def main(n_frames: int = 4000, seed: int = 11,
     # a route with straights and turns in both directions, cycled to length
     segments = ((0.0, 220), (0.010, 40), (0.0, 180), (-0.012, 35),
                 (0.0, 260), (0.008, 55), (0.0, 150), (-0.009, 45))
+    # q_max=128 (not the default 64): with a 4,000-frame world the
+    # 64-nearest-quad cull budget visibly pops geometry in/out as the
+    # camera sweeps a corner — features on a popped quad die in one frame,
+    # and the measured turn-exit inlier dips (round 5: nba 270 -> ~135 for
+    # 2-3 frames at every turn) were the seed of every reset storm. 128
+    # keeps the visible set stable through turns; render cost stays ~3 ms
+    # pipelined.
     seq = TexturedSequence(n_frames=n_frames, seed=seed, segments=segments,
-                           light_period=900.0, photo=photo)
+                           light_period=900.0, photo=photo, q_max=128)
     cfg = VOConfig()
     fe = Frontend(cfg, seq.cam)
 
